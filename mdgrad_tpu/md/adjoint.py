@@ -1,0 +1,133 @@
+"""Fixed-grid ODE integration with adjoint (O(activations)-free) backprop.
+
+Parity target: /root/reference/torchmd/sovlers.py:196-324
+(``OdeintAdjointMethod``) and tinydiffeq.py:56-76 (fixed-grid loop).  The
+reference's "O(1) backprop" stores the *solution trajectory* (one state per
+time point, sovlers.py:208) and, in backward, re-integrates each interval in
+reverse while accumulating vjps of the EOM wrt (state, params)
+(sovlers.py:221-286) -- including hand-derived adjoint branches of the
+symplectic steppers (sovlers.py:42-101,129-164).
+
+The TPU-native replacement keeps the same memory profile (per-step *states*
+only, never per-step activations) but is simpler and exact:
+
+  forward: ``jax.lax.scan`` of the step function, collecting the state (and
+  the neighbor aux actually used) at every step;
+
+  backward: a reversed ``lax.scan`` that, at step i, re-runs ``jax.vjp`` of
+  the *step function itself* at the stored (state_i, aux_i).  Because the
+  stored state is the exact forward state (not a reverse-time
+  reconstruction), gradients equal direct backprop through the scan to
+  roundoff, while memory stays O(T x state) with zero stored activations --
+  each step's internals (SchNet activations, pair matrices) are recomputed
+  inside the vjp.  This subsumes the reference's hand-written symplectic
+  adjoints: differentiating the stepper *is* the discrete adjoint.
+
+Neighbor state (``aux``) is threaded as data: cotangents do not flow through
+list construction, matching the reference's detached neighbor lists
+(interface.py:259-260).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _zero_cotangent(pytree):
+    """Zero cotangents for a pytree that may hold int/bool leaves."""
+    def z(v):
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            return jnp.zeros_like(v)
+        return np.zeros(v.shape, dtype=jax.dtypes.float0)
+    return jax.tree_util.tree_map(z, pytree)
+
+
+def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
+                adjoint=True):
+    """Build ``odeint(params, state0, aux0, ctrl) -> (traj, final_aux)``.
+
+    step_fn:       (params, state, aux, ctrl, i) -> state   (one dt step)
+    aux_update_fn: (state, aux) -> aux                      (topology refresh)
+    n_steps:       static step count; traj has n_steps + 1 frames (frame 0 is
+                   state0), matching the reference where ``frequency`` time
+                   points mean frequency-1 steps (md.py:80-81).
+    update_freq:   refresh aux every k-th step (reference
+                   topology_update_freq, md.py:125-129).
+    adjoint:       True -> custom-vjp trajectory replay (activation-free);
+                   False -> plain scan autodiff (stores step activations,
+                   the reference's adjoint=False direct-backprop mode).
+
+    Gradients flow to params, state0 and ctrl; not through aux.
+    """
+
+    def _refresh(i, state, aux):
+        if update_freq == 1:
+            return aux_update_fn(state, aux)
+        return jax.lax.cond(i % update_freq == 0,
+                            lambda: aux_update_fn(state, aux),
+                            lambda: aux)
+
+    def _forward(params, state0, aux0, ctrl):
+        def body(carry, i):
+            state, aux = carry
+            aux = _refresh(i, state, aux)
+            new_state = step_fn(params, state, aux, ctrl, i)
+            return (new_state, aux), (new_state, aux)
+
+        (final_state, final_aux), (traj, auxs) = jax.lax.scan(
+            body, (state0, aux0), jnp.arange(n_steps))
+        full_traj = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0),
+            state0, traj)
+        return full_traj, final_aux, auxs
+
+    if not adjoint:
+        def odeint_direct(params, state0, aux0, ctrl):
+            traj, final_aux, _ = _forward(params, state0, aux0, ctrl)
+            return traj, final_aux
+        return odeint_direct
+
+    @jax.custom_vjp
+    def odeint(params, state0, aux0, ctrl):
+        traj, final_aux, _ = _forward(params, state0, aux0, ctrl)
+        return traj, final_aux
+
+    def odeint_fwd(params, state0, aux0, ctrl):
+        traj, final_aux, auxs = _forward(params, state0, aux0, ctrl)
+        # residuals: all pre-step states (traj[:-1]) + the aux used per step
+        states_in = jax.tree_util.tree_map(lambda x: x[:-1], traj)
+        return (traj, final_aux), (params, states_in, auxs, ctrl, aux0)
+
+    def odeint_bwd(res, cts):
+        params, states_in, auxs, ctrl, aux0 = res
+        ct_traj, _ct_aux = cts  # aux cotangents are structurally zero
+
+        ct_last = jax.tree_util.tree_map(lambda x: x[-1], ct_traj)
+        ct_rest = jax.tree_util.tree_map(lambda x: x[:-1], ct_traj)
+        zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+        zero_ctrl = jax.tree_util.tree_map(
+            lambda v: jnp.zeros_like(v), ctrl)
+
+        def body(carry, xs):
+            adj, dparams, dctrl = carry
+            state_i, aux_i, ct_i, i = xs
+            _, vjp = jax.vjp(
+                lambda p, s, c: step_fn(p, s, aux_i, c, i),
+                params, state_i, ctrl)
+            dp, ds, dc = vjp(adj)
+            dparams = jax.tree_util.tree_map(jnp.add, dparams, dp)
+            dctrl = jax.tree_util.tree_map(jnp.add, dctrl, dc)
+            adj = jax.tree_util.tree_map(jnp.add, ds, ct_i)
+            return (adj, dparams, dctrl), None
+
+        idx = jnp.arange(n_steps - 1, -1, -1)
+        rev = lambda t: jax.tree_util.tree_map(lambda x: x[::-1], t)
+        (adj, dparams, dctrl), _ = jax.lax.scan(
+            body, (ct_last, zero_params, zero_ctrl),
+            (rev(states_in), rev(auxs), rev(ct_rest), idx))
+        return dparams, adj, _zero_cotangent(aux0), dctrl
+
+    odeint.defvjp(odeint_fwd, odeint_bwd)
+    return odeint

@@ -1,0 +1,187 @@
+"""Equations of motion and symplectic/RK4 steppers (pure JAX).
+
+Parity target: /root/reference/torchmd/md.py (NVE:98, NoseHooverChain:159)
+and the stepper algebra in /root/reference/torchmd/sovlers.py
+(verlet_update:21-40, NHverlet_update:106-127 forward branches) and
+tinydiffeq.py (rk4_alt_step_func:97-103, the "3/8 rule").
+
+TPU-native design: an integrator is a *static* object holding masses /
+bath constants / the interaction; dynamics are pure functions
+
+    ``derivs(params, state, aux, ctrl, t) -> dstate/dt``
+    ``step(params, state, aux, ctrl, t, dt, method) -> state``
+
+with ``state`` a NamedTuple pytree, ``aux`` the neighbor state (constant
+within a step -- the reference likewise detaches its cached list,
+interface.py:259-260) and ``ctrl`` a dict of *dynamic* controls (currently
+``kT`` for thermostat annealing, reference md.py:207 ``update_T``) so
+changing temperature never triggers recompilation.
+
+Forces are ``-jax.grad(U)(q)`` (replacing compute_grad,
+nff/utils/scatter.py:5-21); the loss later differentiates through this
+grad, i.e. grad-of-grad through the scan, which JAX supports natively.
+"""
+
+import typing
+
+import jax
+import jax.numpy as jnp
+
+from .. import units
+from ..system import check_system
+
+
+class NVEState(typing.NamedTuple):
+    v: jnp.ndarray
+    q: jnp.ndarray
+
+
+class NVTState(typing.NamedTuple):
+    v: jnp.ndarray
+    q: jnp.ndarray
+    pv: jnp.ndarray  # Nose-Hoover chain bath momenta
+
+
+def rk4_step(derivs_fn, state, t, dt):
+    """RK4 "3/8 rule" step on an arbitrary state pytree
+    (parity: reference tinydiffeq.py:97-103)."""
+    tm = jax.tree_util.tree_map
+    k1 = derivs_fn(state, t)
+    k2 = derivs_fn(tm(lambda y, k: y + dt * k / 3, state, k1), t + dt / 3)
+    k3 = derivs_fn(tm(lambda y, a, b: y + dt * (-a / 3 + b), state, k1, k2),
+                   t + dt * 2 / 3)
+    k4 = derivs_fn(tm(lambda y, a, b, c: y + dt * (a - b + c),
+                      state, k1, k2, k3), t + dt)
+    return tm(lambda y, a, b, c, d: y + (a + 3 * b + 3 * c + d) * (dt / 8),
+              state, k1, k2, k3, k4)
+
+
+class _MDIntegrator:
+    """Shared machinery for NVE / NoseHooverChain."""
+
+    def __init__(self, potentials, system, adjoint=True,
+                 topology_update_freq=1):
+        check_system(system)
+        self.model = potentials
+        self.system = system
+        self.masses = jnp.asarray(system.get_masses())[:, None]
+        self.dim = system.dim
+        self.n_dof = system.get_number_of_atoms() * system.dim
+        self.adjoint = adjoint
+        self.topology_update_freq = topology_update_freq
+
+    # -- functional surface --------------------------------------------------
+    def init_params(self):
+        return self.model.init_params()
+
+    def aux_init(self, q):
+        return self.model.aux_init(q)
+
+    def aux_update(self, q, aux):
+        return self.model.aux_update(q, aux)
+
+    def default_ctrl(self):
+        return {}
+
+    def force(self, params, q, aux):
+        return -jax.grad(self.model.energy, argnums=1)(params, q, aux)
+
+    def step(self, params, state, aux, ctrl, t, dt, method=None):
+        method = method or self.default_method
+        if method in ("verlet", "NH_verlet"):
+            return self._symplectic_step(params, state, aux, ctrl, t, dt)
+        if method == "rk4":
+            return rk4_step(
+                lambda s, tt: self.derivs(params, s, aux, ctrl, tt),
+                state, t, dt)
+        raise ValueError(f"unknown method {method!r}")
+
+    def _symplectic_step(self, params, state, aux, ctrl, t, dt):
+        """Velocity-Verlet-family step: half-kick on all momentum-like
+        variables, full drift in q, half-kick at the new point.  Exactly the
+        forward branches of reference sovlers.py:25-40 and :110-127."""
+        d0 = self.derivs(params, state, aux, ctrl, t)
+        half = jax.tree_util.tree_map(lambda y, k: y + 0.5 * dt * k,
+                                      state, d0)
+        # drift uses the half-kicked velocity; q's own "half" entry from the
+        # tree_map above is discarded
+        q_new = state.q + half.v * dt
+        mid = half._replace(q=q_new)
+        d1 = self.derivs(params, mid, aux, ctrl, t)
+        new = jax.tree_util.tree_map(lambda y, k: y + 0.5 * dt * k,
+                                     mid, d1)
+        return new._replace(q=q_new)
+
+
+class NVE(_MDIntegrator):
+    """Constant-energy EOM (parity: reference md.py:98-157)."""
+
+    state_keys = ["velocities", "positions"]
+    default_method = "verlet"
+
+    def initial_state(self, wrap=True):
+        return NVEState(
+            v=jnp.asarray(self.system.get_velocities()),
+            q=jnp.asarray(self.system.get_positions(wrap=wrap)))
+
+    def derivs(self, params, state, aux, ctrl, t):
+        f = self.force(params, state.q, aux)
+        return NVEState(v=f / self.masses, q=state.v)
+
+
+class NoseHooverChain(_MDIntegrator):
+    """NVT via a Nose-Hoover chain (parity: reference md.py:159-249).
+
+    T is in Kelvin (the reference takes it pre-multiplied by kB; we keep
+    Kelvin at the API and convert internally, so drivers pass the same
+    numbers as reference configs).  Q is the bath-mass scalar; the chain
+    masses are [Q, Q/N, ..., Q/N] (reference md.py:191-193).
+    """
+
+    state_keys = ["velocities", "positions", "baths"]
+    default_method = "NH_verlet"
+
+    def __init__(self, potentials, system, T, num_chains=2, Q=1.0,
+                 adjoint=True, topology_update_freq=1):
+        super().__init__(potentials, system, adjoint, topology_update_freq)
+        if num_chains < 2:
+            raise ValueError("NoseHooverChain needs num_chains >= 2")
+        self.T = T
+        self.num_chains = num_chains
+        n = system.get_number_of_atoms()
+        self.Q = jnp.asarray([Q] + [Q / n] * (num_chains - 1))
+
+    def update_T(self, T):
+        """Annealing entry point (reference md.py:207-208): changes the
+        default ctrl; pass the returned ctrl into the next epoch."""
+        self.T = T
+        return self.default_ctrl()
+
+    def default_ctrl(self):
+        return {"kT": jnp.asarray(self.T * units.kB)}
+
+    def initial_state(self, wrap=True):
+        return NVTState(
+            v=jnp.asarray(self.system.get_velocities()),
+            q=jnp.asarray(self.system.get_positions(wrap=wrap)),
+            pv=jnp.zeros(self.num_chains))
+
+    def derivs(self, params, state, aux, ctrl, t):
+        """Chain EOM, exactly reference md.py:210-240."""
+        kT = ctrl["kT"]
+        v, q, pv = state
+        m = self.masses
+        p = v * m
+        sys_ke = 0.5 * (p ** 2 / m).sum()
+
+        f = self.force(params, q, aux)
+        coupled = pv[0] * p / self.Q[0]
+        dvdt = (f - coupled) / m
+
+        dpv0 = (2 * (sys_ke - kT * self.n_dof * 0.5)
+                - pv[0] * pv[1] / self.Q[1])
+        dpv_mid = ((pv[:-2] ** 2 / self.Q[:-2] - kT)
+                   - pv[2:] * pv[1:-1] / self.Q[2:])
+        dpv_last = pv[-2] ** 2 / self.Q[-2] - kT
+        dpvdt = jnp.concatenate([dpv0[None], dpv_mid, dpv_last[None]])
+        return NVTState(v=dvdt, q=v, pv=dpvdt)

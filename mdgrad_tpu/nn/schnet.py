@@ -1,0 +1,161 @@
+"""SchNet continuous-filter GNN force field in flax, TPU-first.
+
+Parity target: /root/reference/nff/nn/models/schnet.py:23-171 with
+SchNetConv (nff/nn/modules.py:514-575), MessagePassingModule aggregation
+(nff/nn/graphconv.py:43-53), GaussianSmearing edge featurizer
+(nff/nn/layers.py:34-83) and the default atomwise readout
+(nff/nn/utils.py:56: Dense(n->n/2), shifted_softplus, Dense(n/2->1)).
+
+TPU-native differences from the reference:
+
+  * **Static shapes**: edges arrive as a fixed-capacity padded undirected
+    pair list (i<j) plus a mask; messages of padded edges are zeroed and
+    scattered to a dump row.  Aggregation is ``segment_sum`` in both edge
+    directions, numerically identical to the reference's double
+    ``scatter_add`` (graphconv.py:48-51).
+  * **Replica batching via vmap/shard_map** instead of the reference's
+    concatenated-graph batching (nff/data/loader.py): a single-system apply
+    is vmapped by callers, which XLA turns into batched matmuls on the MXU.
+  * **PBC offsets in real space**: edge vectors are
+    ``xyz[i] - xyz[j] - offsets_real`` where offsets_real = frac_offsets @
+    cell.  (The reference passes *fractional* offsets straight into the
+    edge-length formula, schnet.py:142 vs interface.py:122 -- a unit bug for
+    non-unit cells that we do not replicate.)
+
+Forces come from ``jax.grad`` of the summed energy wrt positions; the loss
+differentiates *through* that grad (grad-of-grad), which JAX supports
+natively (reference needed create_graph=True double backward,
+nff/utils/scatter.py:18-19).
+"""
+
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as fnn
+
+from .layers import shifted_softplus, gaussian_smearing
+
+
+class SchNetConv(fnn.Module):
+    """One continuous-filter convolution (reference modules.py:514-575)."""
+    n_atom_basis: int
+    n_filters: int
+    n_gaussians: int
+    cutoff: float
+    trainable_gauss: bool = False
+
+    @fnn.compact
+    def __call__(self, r, e, idx, mask, n_atoms):
+        # edge filter: smearing -> Dense -> ssp -> Dense
+        # (reference modules.py:530-541)
+        init_off = np.linspace(0.0, self.cutoff, self.n_gaussians)
+        width0 = init_off[1] - init_off[0]
+        if self.trainable_gauss:
+            offsets = self.param(
+                "gauss_offsets",
+                lambda k: jnp.asarray(init_off, dtype=jnp.float32))
+            widths = self.param(
+                "gauss_widths",
+                lambda k: jnp.full(self.n_gaussians, width0,
+                                   dtype=jnp.float32))
+        else:
+            offsets = jnp.asarray(init_off, dtype=jnp.float32)
+            widths = jnp.full(self.n_gaussians, width0, dtype=jnp.float32)
+
+        ef = gaussian_smearing(e, offsets, widths)
+        ef = shifted_softplus(fnn.Dense(self.n_gaussians)(ef))
+        ef = fnn.Dense(self.n_filters)(ef)
+
+        # node filter (reference modules.py:542)
+        rf = fnn.Dense(self.n_filters)(r)
+
+        # messages both directions (reference modules.py:571,
+        # graphconv.py:48-51), padded edges zeroed
+        m = mask[:, None].astype(ef.dtype)
+        m_ij = rf[idx[:, 0]] * ef * m   # flows to node j
+        m_ji = rf[idx[:, 1]] * ef * m   # flows to node i
+        agg = (jax.ops.segment_sum(m_ij, idx[:, 1], num_segments=n_atoms + 1)
+               + jax.ops.segment_sum(m_ji, idx[:, 0],
+                                     num_segments=n_atoms + 1))[:-1]
+
+        # update MLP (reference modules.py:543-547)
+        out = shifted_softplus(fnn.Dense(self.n_atom_basis)(agg))
+        return fnn.Dense(self.n_atom_basis)(out)
+
+
+class _SchNetModule(fnn.Module):
+    n_atom_basis: int
+    n_filters: int
+    n_gaussians: int
+    n_convolutions: int
+    cutoff: float
+    trainable_gauss: bool = False
+    readout_keys: typing.Tuple[str, ...] = ("energy",)
+
+    @fnn.compact
+    def __call__(self, z, xyz, idx, offsets_real, mask):
+        n_atoms = z.shape[0]
+        # pad-safe gather: sentinel row for index N
+        ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
+        d = ext[idx[:, 0]] - ext[idx[:, 1]] - offsets_real
+        e = jnp.sqrt((d ** 2).sum(-1) + 1e-20)[:, None]
+
+        r = fnn.Embed(100, self.n_atom_basis)(z)
+        for _ in range(self.n_convolutions):
+            dr = SchNetConv(self.n_atom_basis, self.n_filters,
+                            self.n_gaussians, self.cutoff,
+                            self.trainable_gauss)(r, e, idx, mask, n_atoms)
+            r = r + dr  # residual stack (reference schnet.py:149-151)
+
+        out = {}
+        for key in self.readout_keys:
+            h = shifted_softplus(
+                fnn.Dense(self.n_atom_basis // 2, name=f"{key}_d0")(r))
+            out[key] = fnn.Dense(1, name=f"{key}_d1")(h).squeeze(-1)
+        return out
+
+
+class SchNet:
+    """SchNet with the (init_params, apply) protocol.
+
+    modelparams mirror the reference dict (schnet.py:80-85): n_atom_basis,
+    n_filters, n_gaussians, n_convolutions, cutoff, trainable_gauss.
+    """
+
+    def __init__(self, modelparams):
+        self.cutoff = modelparams["cutoff"]
+        self.module = _SchNetModule(
+            n_atom_basis=modelparams["n_atom_basis"],
+            n_filters=modelparams["n_filters"],
+            n_gaussians=modelparams["n_gaussians"],
+            n_convolutions=modelparams["n_convolutions"],
+            cutoff=modelparams["cutoff"],
+            trainable_gauss=modelparams.get("trainable_gauss", False),
+            readout_keys=tuple(modelparams.get("readout_keys", ("energy",))),
+        )
+
+    def init_params(self, z, key=None):
+        key = jax.random.PRNGKey(0) if key is None else key
+        n = z.shape[0]
+        idx = jnp.zeros((1, 2), dtype=jnp.int32)
+        return self.module.init(
+            key, jnp.asarray(z), jnp.zeros((n, 3)), idx,
+            jnp.zeros((1, 3)), jnp.ones(1, dtype=bool))["params"]
+
+    def atomwise(self, params, z, xyz, idx, offsets_real, mask):
+        """Per-atom readout dict (keys -> (N,))."""
+        return self.module.apply({"params": params}, z, xyz, idx,
+                                 offsets_real, mask)
+
+    def energy(self, params, z, xyz, idx, offsets_real, mask):
+        """Total potential energy (scalar)."""
+        return self.atomwise(params, z, xyz, idx, offsets_real,
+                             mask)["energy"].sum()
+
+    def energy_and_forces(self, params, z, xyz, idx, offsets_real, mask):
+        """(U, F = -dU/dxyz); differentiable for grad-of-grad training."""
+        u, g = jax.value_and_grad(self.energy, argnums=2)(
+            params, z, xyz, idx, offsets_real, mask)
+        return u, -g

@@ -1,0 +1,176 @@
+"""Differentiable observables: RDF, VACF, angle distributions, dihedrals.
+
+Parity target: /root/reference/torchmd/observable.py.  These are the loss
+heads of the framework: gradients of g(r) / VACF / p(theta) flow back
+through the MD trajectory into potential parameters.
+
+TPU-native design notes:
+
+  * The RDF soft histogram (Gaussian smearing of pair distances,
+    reference observable.py:70) is evaluated **densely**: per frame we form
+    the masked NxN minimum-image distance matrix and contract it against the
+    Gaussian basis -- one fused elementwise+reduction pipeline, vmapped over
+    frames, no dynamic pair extraction (the reference rebuilds a dynamic
+    neighbor list per call, observable.py:64-68).
+  * Shell-volume normalization ``generate_vol_bins`` supports dim=3 and
+    dim=2 exactly as reference observable.py:10-21.
+  * Angle distributions use a per-atom fixed-capacity neighbor table
+    (:func:`mdgrad_tpu.topology.neighbors_per_atom`) instead of the
+    reference's quadratic edge-list join (topology.py:83-105).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import topology
+from .nn.layers import GaussianSmearing
+from .system import check_system
+
+
+def generate_vol_bins(start, end, nbins, dim):
+    """Shell volumes + bin edges (reference observable.py:10-21)."""
+    bins = np.linspace(start, end, nbins + 1)
+    if dim == 3:
+        vol_bins = 4 * np.pi / 3 * (bins[1:] ** 3 - bins[:-1] ** 3)
+        V = (4 / 3) * np.pi * end ** 3
+    elif dim == 2:
+        vol_bins = np.pi * (bins[1:] ** 2 - bins[:-1] ** 2)
+        V = np.pi * end ** 2
+    else:
+        raise ValueError("dim must be 2 or 3")
+    return V, jnp.asarray(vol_bins), jnp.asarray(bins)
+
+
+class rdf:
+    """Soft-histogram radial distribution function
+    (parity: reference observable.py:33-76, incl. ``index_tuple`` partial
+    RDFs for mixtures).  Call with xyz of shape (N, 3) or (F, N, 3);
+    returns (count, bins, g_r), all differentiable in xyz.
+    """
+
+    def __init__(self, system, nbins, r_range, index_tuple=None, width=None):
+        check_system(system)
+        start, end = r_range
+        self.V, self.vol_bins, self.bins = generate_vol_bins(
+            start, end, nbins, dim=system.dim)
+        self.smear = GaussianSmearing(start=start, stop=float(self.bins[-1]),
+                                      n_gaussians=nbins, width=width)
+        self.nbins = nbins
+        self.cell = jnp.asarray(system.get_cell())
+        self.cutoff_boundary = end + 0.5
+        self.select_mask = topology.pair_index_mask(
+            system.get_number_of_atoms(), index_tuple, None)
+        self.r_axis = np.linspace(start, end, nbins)
+
+    def _frame_counts(self, xyz):
+        dist, valid = topology.distance_matrix(xyz, self.cell)
+        n = dist.shape[-1]
+        mask = valid & jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+        mask = mask & (dist < self.cutoff_boundary)
+        if self.select_mask is not None:
+            mask = mask & self.select_mask
+        # (N, N, G) gaussian expansion contracted over masked pairs
+        g = self.smear(dist[..., None])
+        return (g * mask[..., None]).sum((0, 1))
+
+    def __call__(self, xyz):
+        xyz = jnp.asarray(xyz)
+        if xyz.ndim == 2:
+            count = self._frame_counts(xyz)
+        else:
+            count = jax.vmap(self._frame_counts)(xyz).sum(0)
+        count = count / count.sum()
+        g_r = count / (self.vol_bins / self.V)
+        return count, self.bins, g_r
+
+
+class vacf:
+    """Velocity autocorrelation over lag windows
+    (parity: reference observable.py:153-163).  Input: (T, N, 3) velocity
+    trajectory; output: (t_range,) correlation, differentiable."""
+
+    def __init__(self, system, t_range):
+        check_system(system)
+        self.t_range = t_range
+
+    def __call__(self, vel):
+        vel = jnp.asarray(vel)
+        out = [(vel * vel).mean()[None]]
+        for t in range(1, self.t_range):
+            out.append((vel[t:] * vel[:-t]).mean()[None])
+        return jnp.concatenate(out)
+
+
+def compute_angle(xyz, angle_list, cell, N):
+    """cos(theta) for (frame, j, i, k) angle triples
+    (parity: reference observable.py:166-179; apex is the middle index)."""
+    xyz = xyz.reshape(-1, N, 3)
+    cell_len = jnp.diag(jnp.asarray(cell)) if jnp.asarray(cell).ndim == 2 \
+        else jnp.asarray(cell)
+    v1 = xyz[angle_list[:, 0], angle_list[:, 1]] \
+        - xyz[angle_list[:, 0], angle_list[:, 2]]
+    v2 = xyz[angle_list[:, 0], angle_list[:, 3]] \
+        - xyz[angle_list[:, 0], angle_list[:, 2]]
+    v1 = topology.wrap_bond_vectors(v1, cell_len)
+    v2 = topology.wrap_bond_vectors(v2, cell_len)
+    dot = (v1 * v2).sum(-1)
+    norm = jnp.sqrt((v1 ** 2).sum(-1) * (v2 ** 2).sum(-1))
+    return dot / norm
+
+
+class angle_distribution:
+    """Soft histogram of bond angles within a cutoff
+    (parity: reference observable.py:112-151)."""
+
+    def __init__(self, system, nbins, angle_range, cutoff=3.0, width=None,
+                 k_max=16):
+        check_system(system)
+        start, end = angle_range
+        self.bins = jnp.linspace(start, end, nbins + 1)
+        self.smear = GaussianSmearing(start=start, stop=end,
+                                      n_gaussians=nbins, width=width)
+        self.cutoff = cutoff
+        self.cell = jnp.asarray(system.get_cell())
+        self.natoms = system.get_number_of_atoms()
+        self.k_max = k_max
+        self.cell_len = jnp.asarray(np.diag(system.get_cell()))
+
+    def _frame_angles(self, xyz):
+        table, valid, _ = topology.neighbors_per_atom(
+            xyz, self.cutoff, self.cell, self.k_max)
+        triples, mask = topology.angle_triples(table, valid)
+        n = self.natoms
+        ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
+        j, i, k = triples[..., 0], triples[..., 1], triples[..., 2]
+        v1 = ext[j] - ext[i]
+        v2 = ext[k] - ext[i]
+        v1 = topology.wrap_bond_vectors(v1, self.cell_len)
+        v2 = topology.wrap_bond_vectors(v2, self.cell_len)
+        dot = (v1 * v2).sum(-1)
+        norm = jnp.sqrt((v1 ** 2).sum(-1) * (v2 ** 2).sum(-1) + 1e-20)
+        cos = jnp.clip(dot / norm, -0.999999, 0.999999)
+        angles = jnp.arccos(cos)
+        counts = (self.smear(angles[..., None]) * mask[..., None]).sum((0, 1, 2))
+        return counts, angles, mask
+
+    def __call__(self, xyz):
+        xyz = jnp.asarray(xyz).reshape(-1, self.natoms, 3)
+        counts, angles, mask = jax.vmap(self._frame_angles)(xyz)
+        count = counts.sum(0)
+        count = count / count.sum()
+        return self.bins, count, (angles, mask)
+
+
+def compute_dihe(xyz, dihes):
+    """cos(phi) of dihedrals (parity: reference observable.py:181-197)."""
+    assert xyz.ndim == 3
+    d = xyz[:, None, :, :] - xyz[:, :, None, :]
+    vec1 = d[:, dihes[:, 1], dihes[:, 0]]
+    vec2 = d[:, dihes[:, 1], dihes[:, 2]]
+    vec3 = d[:, dihes[:, 2], dihes[:, 1]]
+    vec4 = d[:, dihes[:, 2], dihes[:, 3]]
+    cross1 = jnp.cross(vec1, vec2)
+    cross2 = jnp.cross(vec3, vec4)
+    norm = jnp.sqrt((cross1 ** 2).sum(-1) * (cross2 ** 2).sum(-1) + 1e-20)
+    return (cross1 * cross2).sum(-1) / norm

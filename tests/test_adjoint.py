@@ -1,0 +1,135 @@
+"""Adjoint-gradient correctness: the core promise of the framework.
+
+Validates the custom-vjp trajectory-replay odeint
+(mdgrad_tpu/md/adjoint.py) against (1) direct scan backprop and (2) finite
+differences -- the JAX analog of checking the reference's
+OdeintAdjointMethod (sovlers.py:196-293) against autograd, which the
+reference never did (SURVEY.md section 4).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdgrad_tpu import units, potentials
+from mdgrad_tpu.system import System
+from mdgrad_tpu.interface import PairPotentials
+from mdgrad_tpu.md import NVE, NoseHooverChain, Simulation
+from mdgrad_tpu.md.adjoint import make_odeint
+from mdgrad_tpu.md.integrators import NVEState
+from mdgrad_tpu.observables import rdf
+
+
+def test_harmonic_adjoint_matches_direct_and_fd():
+    """1-D harmonic oscillator (reference Harmonic1D, potentials.py:34):
+    d loss / d k through 10 verlet steps."""
+    dt = 0.1
+    n_steps = 10
+
+    def step_fn(params, state, aux, ctrl, i):
+        k = params["k"]
+        a0 = -k * state.q
+        v_half = state.v + 0.5 * dt * a0
+        q_new = state.q + v_half * dt
+        a1 = -k * q_new
+        v_new = v_half + 0.5 * dt * a1
+        return NVEState(v=v_new, q=q_new)
+
+    aux_update = lambda s, a: a
+    y0 = NVEState(v=jnp.zeros(1), q=jnp.ones(1))
+
+    def loss(params, ode):
+        traj, _ = ode(params, y0, (), {})
+        return (traj.q ** 2).sum()
+
+    ode_adj = make_odeint(step_fn, aux_update, n_steps, adjoint=True)
+    ode_dir = make_odeint(step_fn, aux_update, n_steps, adjoint=False)
+
+    p = {"k": jnp.asarray(1.3)}
+    g_adj = jax.grad(loss)(p, ode_adj)["k"]
+    g_dir = jax.grad(loss)(p, ode_dir)["k"]
+    np.testing.assert_allclose(float(g_adj), float(g_dir), rtol=1e-5)
+
+    eps = 1e-3
+    fd = (loss({"k": jnp.asarray(1.3 + eps)}, ode_dir)
+          - loss({"k": jnp.asarray(1.3 - eps)}, ode_dir)) / (2 * eps)
+    np.testing.assert_allclose(float(g_adj), float(fd), rtol=1e-2)
+
+
+@pytest.fixture(scope="module")
+def small_lj():
+    sys = System.from_lattice("fcc", 2, 1.679)  # 32 atoms
+    sys.set_temperature(1.0 / units.kB, rng=np.random.default_rng(7))
+    return sys
+
+
+def _epoch_loss_fn(sys, adjoint, mode="dense", nhc=False, n_frames=12):
+    pair = PairPotentials(sys, potentials.LennardJones(sigma=0.9,
+                                                       epsilon=1.0),
+                          cutoff=2.5, mode=mode)
+    if nhc:
+        integ = NoseHooverChain(pair, sys, T=1.0 / units.kB, num_chains=3,
+                                Q=30.0, adjoint=adjoint)
+    else:
+        integ = NVE(pair, sys, adjoint=adjoint)
+    sim = Simulation(sys, integ)
+    ode = sim.epoch_fn(dt=0.005, frequency=n_frames)
+    state, aux = sim.initial_state()
+    obs = rdf(sys, nbins=32, r_range=(0.5, 2.4))
+    ctrl = integ.default_ctrl()
+
+    def loss(params):
+        traj, _ = ode(params, state, aux, ctrl)
+        _, _, g = obs(traj.q[::4])
+        return (g ** 2).mean()
+
+    return loss, sim.params
+
+
+@pytest.mark.parametrize("mode", ["dense", "sparse"])
+def test_lj_rdf_gradients_adjoint_vs_direct(small_lj, mode):
+    """d (RDF loss) / d (sigma, epsilon) through an MD epoch: adjoint ==
+    direct backprop.  This is the end-to-end differentiation path of
+    fit_rdf (reference fit_rdf_gnn.py:382-457)."""
+    loss_adj, params = _epoch_loss_fn(small_lj, adjoint=True, mode=mode)
+    loss_dir, _ = _epoch_loss_fn(small_lj, adjoint=False, mode=mode)
+    g_adj = jax.grad(loss_adj)(params)
+    g_dir = jax.grad(loss_dir)(params)
+    for k in g_adj:
+        np.testing.assert_allclose(np.asarray(g_adj[k]),
+                                   np.asarray(g_dir[k]),
+                                   rtol=5e-3, atol=1e-8)
+        assert np.abs(np.asarray(g_adj[k])).max() > 0
+
+
+def test_nhc_bath_gradients(small_lj):
+    """Gradients flow through Nose-Hoover bath variables (the reference's
+    NHC-adjoint headline config, BASELINE.md row 4)."""
+    loss_adj, params = _epoch_loss_fn(small_lj, adjoint=True, nhc=True)
+    loss_dir, _ = _epoch_loss_fn(small_lj, adjoint=False, nhc=True)
+    g_adj = jax.grad(loss_adj)(params)
+    g_dir = jax.grad(loss_dir)(params)
+    for k in g_adj:
+        np.testing.assert_allclose(np.asarray(g_adj[k]),
+                                   np.asarray(g_dir[k]),
+                                   rtol=5e-3, atol=1e-8)
+
+
+def test_grad_wrt_initial_state(small_lj):
+    loss, params = _epoch_loss_fn(small_lj, adjoint=True)
+    # also check state0 cotangent: wrap loss over state0
+    pair = PairPotentials(small_lj, potentials.LennardJones(), cutoff=2.5,
+                          mode="dense")
+    integ = NVE(pair, small_lj, adjoint=True)
+    sim = Simulation(small_lj, integ)
+    ode = sim.epoch_fn(dt=0.005, frequency=8)
+    state, aux = sim.initial_state()
+
+    def loss_q0(q0):
+        traj, _ = ode(sim.params, state._replace(q=q0), aux, {})
+        return (traj.q[-1] ** 2).sum()
+
+    g = jax.grad(loss_q0)(state.q)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0

@@ -1,0 +1,118 @@
+"""Integrator physics: NVE energy conservation, NHC thermostat, parity of
+dense vs sparse pair evaluation, epoch-chunked simulate() driver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdgrad_tpu import units, potentials
+from mdgrad_tpu.system import System
+from mdgrad_tpu.interface import PairPotentials, Stack
+from mdgrad_tpu.md import NVE, NoseHooverChain, Simulation
+from mdgrad_tpu import thermo
+
+
+@pytest.fixture(scope="module")
+def lj_system():
+    sys = System.from_lattice("fcc", 3, 1.679)  # 108 atoms, README quickstart
+    sys.set_temperature(1.0 / units.kB, rng=np.random.default_rng(42))
+    return sys
+
+
+def make_pair(sys, mode):
+    return PairPotentials(
+        sys, potentials.LennardJones(sigma=1.0, epsilon=1.0),
+        cutoff=2.5, mode=mode)
+
+
+def test_dense_sparse_energy_parity(lj_system):
+    xyz = jnp.asarray(lj_system.get_positions())
+    dense = make_pair(lj_system, "dense")
+    sparse = make_pair(lj_system, "sparse")
+    pd = dense.init_params()
+    ud = dense.energy(pd, xyz, dense.aux_init(xyz))
+    us = sparse.energy(pd, xyz, sparse.aux_init(xyz))
+    np.testing.assert_allclose(float(ud), float(us), rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["dense", "sparse"])
+def test_nve_energy_conservation(lj_system, mode):
+    pair = make_pair(lj_system, mode)
+    integ = NVE(pair, lj_system, adjoint=False)
+    sim = Simulation(lj_system, integ, wrap=True)
+    dt = 0.005
+    traj = sim.simulate(steps=200, dt=dt, frequency=200)
+
+    params = sim.params
+    aux_of = lambda q: pair.aux_update(q, pair.aux_init(q))
+    masses = jnp.asarray(lj_system.get_masses())[:, None]
+
+    def total_energy(v, q):
+        ke = 0.5 * (masses * v ** 2).sum()
+        return float(ke + pair.energy(params, q, aux_of(q)))
+
+    e0 = total_energy(traj.v[0], traj.q[0])
+    e1 = total_energy(traj.v[-1], traj.q[-1])
+    assert abs(e1 - e0) / abs(e0) < 5e-3, (e0, e1)
+
+
+def test_nhc_controls_temperature(lj_system):
+    target_T_ev = 1.2  # in energy units
+    pair = make_pair(lj_system, "dense")
+    integ = NoseHooverChain(pair, lj_system, T=target_T_ev / units.kB,
+                            num_chains=5, Q=50.0, adjoint=False)
+    sim = Simulation(lj_system, integ)
+    traj = None
+    for _ in range(6):
+        traj = sim.simulate(steps=100, dt=0.005, frequency=100)
+    temps = [float(thermo.temperature(traj.v[i],
+                                      lj_system.get_masses(), dim=3))
+             for i in range(0, 100, 10)]
+    mean_T = np.mean(temps[3:])
+    assert abs(mean_T - target_T_ev) / target_T_ev < 0.2, temps
+
+
+def test_simulate_epochs_and_log(lj_system):
+    pair = make_pair(lj_system, "dense")
+    integ = NVE(pair, lj_system, adjoint=True)
+    sim = Simulation(lj_system, integ)
+    traj = sim.simulate(steps=40, dt=0.005, frequency=10)
+    # 4 epochs logged, each frame count = frequency (9 steps + initial)
+    assert len(sim.log["positions"]) == 4
+    assert traj.q.shape[0] == 10
+    # positions stay wrapped inside the box after restart
+    q = sim.get_check_point().q
+    cell_diag = np.diag(lj_system.get_cell())
+    assert np.all(np.asarray(q) >= -1e-5)
+    assert np.all(np.asarray(q) <= cell_diag + 1e-5)
+
+
+def test_stack_sums_energies(lj_system):
+    xyz = jnp.asarray(lj_system.get_positions())
+    a = make_pair(lj_system, "dense")
+    b = PairPotentials(lj_system, potentials.ExcludedVolume(
+        sigma=0.9, epsilon=0.05, power=12), cutoff=2.5, mode="dense")
+    stack = Stack({"lj": a, "prior": b})
+    p = stack.init_params()
+    aux = stack.aux_init(xyz)
+    u = stack.energy(p, xyz, aux)
+    ua = a.energy(p["lj"], xyz, aux["lj"])
+    ub = b.energy(p["prior"], xyz, aux["prior"])
+    np.testing.assert_allclose(float(u), float(ua) + float(ub), rtol=1e-6)
+
+
+def test_rk4_on_harmonic_oscillator():
+    """RK4 integrates x'' = -x: period 2*pi, amplitude preserved."""
+    from mdgrad_tpu.md.integrators import rk4_step
+    from mdgrad_tpu.md.integrators import NVEState
+
+    def derivs(s, t):
+        return NVEState(v=-s.q, q=s.v)
+
+    dt = 0.05
+    state = NVEState(v=jnp.zeros(1), q=jnp.ones(1))
+    n = int(round(2 * np.pi / dt))
+    for i in range(n):
+        state = rk4_step(derivs, state, i * dt, dt)
+    assert abs(float(state.q[0]) - np.cos(n * dt)) < 1e-4
