@@ -1,0 +1,7 @@
+from .loss import JS_rdf, compute_D, mse_loss
+from .pretrain import boltzmann_inversion_pretrain
+from .fit_rdf import fit_rdf, build_fit, get_system
+
+__all__ = ["JS_rdf", "compute_D", "mse_loss",
+           "boltzmann_inversion_pretrain", "fit_rdf", "build_fit",
+           "get_system"]

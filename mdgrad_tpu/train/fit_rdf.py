@@ -1,0 +1,317 @@
+"""RDF-fitting driver: learn potentials from target g(r) via MD gradients.
+
+Parity target: ``fit_rdf`` (/root/reference/scripts/fit_rdf_gnn.py:217-516):
+build one system per thermodynamic state point, wrap a shared learnable
+potential (SchNet / pairMLP / TpairMLP) plus a repulsive ExcludedVolume
+prior in a Stack, thermostat with a Nose-Hoover chain (Q=50, 5 chains,
+adjoint), and per training epoch: simulate tau steps -> soft-histogram RDF
+of every 20th frame -> density-weighted shell MSE (+ JS diagnostic) ->
+gradients through the trajectory -> Adam + reduce-on-plateau on the
+learnable potential only (prior frozen).  Includes temperature annealing
+(fit_rdf_gnn.py:392-399), NaN bailout returning a penalty objective
+(:403-404), validation state points, and an 800-bin inference phase
+(:483-509).
+
+TPU-native notes: the per-epoch loss+grad is ONE jitted XLA program per
+state point (scan over steps inside), reused across epochs; optimizer
+masking (optax.multi_transform) replaces the reference's
+"optimizer = Adam(net.parameters())" selection.
+"""
+
+import os
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import units, potentials as pot_zoo
+from ..system import System
+from ..lattice import ATOMS_PER_UNITCELL
+from ..interface import (PairPotentials, TPairPotentials, GNNPotentials,
+                         Stack)
+from ..md import NoseHooverChain, Simulation
+from ..observables import rdf as rdf_obs
+from ..nn import SchNet, PairMLP, TPairMLP
+from ..data import exp_rdf_data_dict, get_exp_rdf, get_unit_len
+from .loss import JS_rdf, compute_D
+from .pretrain import boltzmann_inversion_pretrain
+
+WIDTH_DICT = {"tiny": 64, "low": 128, "mid": 256, "high": 512}
+
+
+def get_temp(T_start, T_equil, n_epochs, i, anneal_rate):
+    """Annealing schedule (reference fit_rdf_gnn.py:119-120)."""
+    return ((T_start - T_equil) * np.exp(-i * (1 / n_epochs) * anneal_rate)
+            + T_equil)
+
+
+def get_system(data_tag, size, registry=None, rng=None):
+    """Lattice-initialized System for a registry entry
+    (parity: reference fit_rdf_gnn.py:61-82)."""
+    registry = exp_rdf_data_dict if registry is None else registry
+    entry = registry[data_tag]
+    if entry.get("reduced_units"):
+        # LJ-style number density (reference fit_rdf_pair.py:113)
+        from ..data.registry import number_density_unit_len
+        L = number_density_unit_len(entry["rho"], entry["N_unitcell"])
+    else:
+        L = get_unit_len(entry["rho"], entry["mass"], entry["N_unitcell"])
+    sys = System.from_lattice(entry["cell"], size, L,
+                              symbol=entry["element"])
+    sys.masses = np.full(sys.get_number_of_atoms(), entry["mass"])
+    sys.set_temperature(entry["T"], rng=rng)
+    return sys
+
+
+def get_observer(system, data_tag, nbins, registry=None):
+    """(r_axis, g_obs, rdf observable) for a state point
+    (parity: reference fit_rdf_gnn.py:101-117)."""
+    registry = exp_rdf_data_dict if registry is None else registry
+    entry = registry[data_tag]
+    fn = entry.get("fn") or entry["rdf_fn"]
+    data = np.loadtxt(fn, delimiter=",")
+    start, end = entry["start"], entry["end"]
+    x, g_obs = get_exp_rdf(data, nbins, (start, end))
+    obs = rdf_obs(system, nbins, (start, end))
+    return x, jnp.asarray(g_obs), obs
+
+
+def _build_net_and_prior(assignments, sys_params):
+    """Learnable potential + frozen prior
+    (parity: reference get_gnn_potential / get_pair_potential /
+    get_tpair_potential, fit_rdf_gnn.py:124-183)."""
+    cutoff = assignments["cutoff"]
+    prior = pot_zoo.ExcludedVolume(
+        epsilon=assignments["epsilon"], sigma=assignments["sigma"],
+        power=assignments.get("power", 12))
+    if sys_params.get("pair_flag") or sys_params.get("tpair_flag"):
+        mlp_params = dict(
+            n_gauss=int(cutoff // assignments["gaussian_width"]),
+            r_start=0.0, r_end=cutoff,
+            n_width=assignments["n_width"],
+            n_layers=assignments["n_layers"],
+            nonlinear=assignments["nonlinear"], res=False)
+        net = (TPairMLP(**mlp_params) if sys_params.get("tpair_flag")
+               else PairMLP(**mlp_params))
+    else:
+        def w(v):
+            return WIDTH_DICT[v] if isinstance(v, str) else int(v)
+        net = SchNet({
+            "n_atom_basis": w(assignments["n_atom_basis"]),
+            "n_filters": w(assignments["n_filters"]),
+            "n_gaussians": int(cutoff // assignments["gaussian_width"]),
+            "n_convolutions": assignments["n_convolutions"],
+            "cutoff": cutoff, "trainable_gauss": False})
+    return net, prior
+
+
+def build_fit(assignments, sys_params, registry=None, rng=None):
+    """Construct systems, simulators and observers for all state points
+    (parity: reference build_simulators, fit_rdf_gnn.py:185-214).
+
+    Returns a dict of fitting components shared by fit_rdf and tests.
+    """
+    registry = exp_rdf_data_dict if registry is None else registry
+    size = sys_params["size"]
+    cutoff = assignments["cutoff"]
+    nbins = assignments["nbins"]
+    train_list = list(sys_params["data"])
+    all_sys = train_list + list(sys_params.get("val") or [])
+
+    systems, sims, observers, targets, r_axes = [], [], [], [], []
+    net, prior = _build_net_and_prior(assignments, sys_params)
+
+    params = None
+    for tag in all_sys:
+        entry = registry[tag]
+        system = get_system(tag, size, registry, rng=rng)
+        if str(sys_params.get("anneal_flag")) == "True":
+            system.set_temperature(assignments["start_T"], rng=rng)
+        prior_int = PairPotentials(system, prior, cutoff=cutoff)
+        if sys_params.get("pair_flag"):
+            nn_int = PairPotentials(system, net, cutoff=cutoff)
+        elif sys_params.get("tpair_flag"):
+            nn_int = TPairPotentials(system, net, entry["T"], cutoff=cutoff)
+        else:
+            nn_int = GNNPotentials(system, net, cutoff=cutoff)
+        stack = Stack({"nn": nn_int, "pair": prior_int})
+        integ = NoseHooverChain(
+            stack, system, T=entry["T"], Q=50.0, num_chains=5, adjoint=True,
+            topology_update_freq=sys_params.get("topology_update_freq", 1))
+        sim = Simulation(system, integ)
+        if params is None:
+            params = sim.params
+        else:
+            sim.params = params  # shared potential across state points
+        x, g_obs, obs = get_observer(system, tag, nbins, registry)
+        systems.append(system)
+        sims.append(sim)
+        observers.append(obs)
+        targets.append(g_obs)
+        r_axes.append(x)
+
+    return {"systems": systems, "sims": sims, "observers": observers,
+            "targets": targets, "r_axes": r_axes, "net": net,
+            "prior": prior, "params": params, "train_list": train_list,
+            "all_sys": all_sys, "registry": registry}
+
+
+def _make_epoch_loss(sim, obs, g_target, system, tau, dt, frame_skip=20):
+    """One state point's differentiable epoch objective."""
+    ode = sim.epoch_fn(dt, tau)
+    rho = system.get_number_of_atoms() / system.get_volume()
+    rrange = jnp.linspace(float(obs.bins[0]), float(obs.bins[-1]),
+                          obs.nbins)
+
+    def loss_fn(params, state, aux, ctrl):
+        traj, final_aux = ode(params, state, aux, ctrl)
+        _, _, g = obs(traj.q[::frame_skip])
+        loss = compute_D(g - g_target, rho, rrange)
+        last = jax.tree_util.tree_map(lambda x: x[-1], traj)
+        return loss, (g, last, final_aux)
+
+    return jax.jit(jax.value_and_grad(loss_fn, has_aux=True)), ode
+
+
+def fit_rdf(assignments, sys_params, model_path=None, log=print,
+            registry=None, rng=None):
+    """Train; returns dict with loss trajectory and final RDFs
+    (objective value matches the reference's return contract: final
+    inference MSE summed over state points, or the NaN penalty)."""
+    registry = exp_rdf_data_dict if registry is None else registry
+    rng = np.random.default_rng(0) if rng is None else rng
+    dt = sys_params["dt"]
+    n_epochs = sys_params["n_epochs"]
+    n_sim = sys_params.get("n_sim", 2)
+    tau = assignments["opt_freq"]
+    nbins = assignments["nbins"]
+    frame_skip = sys_params.get("frame_skip", 20)
+
+    comps = build_fit(assignments, sys_params, registry, rng=rng)
+    sims, observers, targets = (comps["sims"], comps["observers"],
+                                comps["targets"])
+    systems, all_sys = comps["systems"], comps["all_sys"]
+    train_list = comps["train_list"]
+    params = comps["params"]
+
+    if model_path:
+        os.makedirs(model_path, exist_ok=True)
+        with open(os.path.join(model_path, "assignments.json"), "w") as f:
+            json.dump({k: str(v) for k, v in assignments.items()}, f)
+
+    # Boltzmann-inversion pretraining for pair models
+    # (reference fit_rdf_gnn.py:254-349)
+    if sys_params.get("pair_flag") or sys_params.get("tpair_flag"):
+        T_list = [registry[t]["T"] for t in all_sys]
+        rr_lo = min(registry[t]["start"] for t in all_sys)
+        rr_hi = max(registry[t]["end"] for t in all_sys)
+        pre_rrange = np.linspace(rr_lo + 0.5, rr_hi, 500)
+        nn_params = params["nn"]["model"] if sys_params.get("tpair_flag") \
+            else params["nn"]
+        nn_params = boltzmann_inversion_pretrain(
+            comps["net"], nn_params, comps["prior"], params["pair"],
+            comps["r_axes"], targets, T_list, rrange=pre_rrange,
+            n_iters=sys_params.get("pretrain_iters", 1000),
+            temperature_dependent=bool(sys_params.get("tpair_flag")))
+        if sys_params.get("tpair_flag"):
+            params["nn"]["model"] = nn_params
+        else:
+            params["nn"] = nn_params
+
+    # optimizer: train the learnable net only (prior & kT frozen),
+    # Adam + reduce-on-plateau (reference fit_rdf_gnn.py:371-380)
+    def label(path, _):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if keys and keys[0] == "nn" and "kT" not in keys:
+            return "train"
+        return "frozen"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    opt = optax.multi_transform(
+        {"train": optax.chain(
+            optax.adam(assignments["lr"]),
+            optax.contrib.reduce_on_plateau(
+                factor=0.5, patience=25, min_scale=1e-4, atol=1e-5)),
+         "frozen": optax.set_to_zero()}, labels)
+    opt_state = opt.init(params)
+
+    loss_and_grads = []
+    md_states = []
+    for sim, obs, g_t, system in zip(sims, observers, targets, systems):
+        loss_and_grads.append(_make_epoch_loss(
+            sim, obs, g_t, system, tau, dt, frame_skip))
+        md_states.append(sim.initial_state())
+
+    loss_log, js_log = [], []
+    for epoch in range(n_epochs):
+        total_loss = 0.0
+        grads_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+        for j, tag in enumerate(all_sys):
+            sim = sims[j]
+            integ = sim.integrator
+            # temperature annealing (reference fit_rdf_gnn.py:392-399)
+            if (str(sys_params.get("anneal_flag")) == "True"
+                    and epoch % assignments.get("anneal_freq", 5) == 0):
+                T_equil = registry[tag]["T"]
+                new_T = get_temp(assignments["start_T"], T_equil, n_epochs,
+                                 epoch, assignments.get("anneal_rate", 2.0))
+                integ.update_T(new_T)
+            ctrl = integ.default_ctrl()
+
+            (vg, _) = loss_and_grads[j]
+            state, aux = md_states[j]
+            (loss, (g, last, final_aux)), grads = vg(
+                params, state, aux, ctrl)
+
+            if not bool(jnp.isfinite(last.q).all()):
+                log(f"NaN bailout at epoch {epoch} ({tag})")
+                return {"objective": 5 - (epoch / n_epochs) * 5,
+                        "nan_bailout": True, "loss_log": loss_log}
+
+            md_states[j] = (jax.lax.stop_gradient(last), final_aux)
+            if tag in train_list:
+                total_loss += float(loss)
+                js_log.append(float(JS_rdf(targets[j], g)))
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc,
+                                                   grads)
+
+        updates, opt_state = opt.update(
+            grads_acc, opt_state, params,
+            value=jnp.asarray(total_loss))
+        params = optax.apply_updates(params, updates)
+        for sim in sims:
+            sim.params = params
+        loss_log.append(total_loss)
+        log(f"epoch {epoch} | loss: {total_loss:.5f}")
+
+    # inference: longer sampling, 800-bin RDF
+    # (reference fit_rdf_gnn.py:471-509)
+    results = {"loss_log": loss_log, "js_log": js_log, "final": {}}
+    total = 0.0
+    test_nbins = sys_params.get("test_nbins", 800)
+    for j, tag in enumerate(all_sys):
+        sim = sims[j]
+        sim.params = params
+        sim.state, sim.aux = md_states[j]
+        frames = []
+        for _ in range(n_sim):
+            traj = sim.simulate(steps=100, dt=dt, frequency=25)
+            frames.append(np.asarray(traj.q[-1]))
+        x, g_obs, obs = get_observer(systems[j], tag, test_nbins, registry)
+        g_sim = np.mean([np.asarray(obs(jnp.asarray(f))[2])
+                         for f in frames], axis=0)
+        mse = float(((np.asarray(g_obs) - g_sim) ** 2).mean())
+        results["final"][tag] = {"r": x, "g_sim": g_sim,
+                                 "g_obs": np.asarray(g_obs), "mse": mse}
+        if model_path:
+            np.savetxt(os.path.join(model_path, f"rdf_{tag}.csv"),
+                       np.vstack([x, g_sim]), delimiter=",")
+        total += mse
+    results["objective"] = total
+    results["params"] = params
+    if model_path:
+        np.savetxt(os.path.join(model_path, "loss.csv"),
+                   np.asarray(loss_log))
+    return results

@@ -1,0 +1,105 @@
+"""SchNet GNN: shapes, PBC edges, forces, MD integration, training grads."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdgrad_tpu import units, topology
+from mdgrad_tpu.system import System
+from mdgrad_tpu.nn import SchNet
+from mdgrad_tpu.interface import GNNPotentials, PairPotentials, Stack
+from mdgrad_tpu import potentials
+from mdgrad_tpu.md import NoseHooverChain, Simulation
+
+PARAMS = {"n_atom_basis": 32, "n_filters": 32, "n_gaussians": 16,
+          "n_convolutions": 2, "cutoff": 2.5}
+
+
+@pytest.fixture(scope="module")
+def sys32():
+    sys = System.from_lattice("fcc", 2, 1.679)
+    sys.set_temperature(1.0 / units.kB, rng=np.random.default_rng(3))
+    return sys
+
+
+def test_schnet_energy_and_forces(sys32):
+    gnn = SchNet(PARAMS)
+    inter = GNNPotentials(sys32, gnn, cutoff=2.5)
+    p = inter.init_params()
+    xyz = jnp.asarray(sys32.get_positions())
+    aux = inter.aux_init(xyz)
+    u = inter.energy(p, xyz, aux)
+    assert np.isfinite(float(u))
+    f = -jax.grad(inter.energy, argnums=1)(p, xyz, aux)
+    assert f.shape == xyz.shape
+    assert np.isfinite(np.asarray(f)).all()
+    # translation invariance: uniform shift leaves energy unchanged
+    u2 = inter.energy(p, xyz + 0.37, inter.aux_update(xyz + 0.37, aux))
+    np.testing.assert_allclose(float(u), float(u2), rtol=1e-4)
+
+
+def test_schnet_padding_invariance(sys32):
+    """Energy must not depend on neighbor-list capacity (padding)."""
+    gnn = SchNet(PARAMS)
+    a = GNNPotentials(sys32, gnn, cutoff=2.5, capacity=512)
+    b = GNNPotentials(sys32, gnn, cutoff=2.5, capacity=1024)
+    p = a.init_params()
+    xyz = jnp.asarray(sys32.get_positions())
+    ua = a.energy(p, xyz, a.aux_init(xyz))
+    ub = b.energy(p, xyz, b.aux_init(xyz))
+    np.testing.assert_allclose(float(ua), float(ub), rtol=1e-6)
+
+
+def test_schnet_forces_match_finite_difference(sys32):
+    gnn = SchNet(PARAMS)
+    inter = GNNPotentials(sys32, gnn, cutoff=2.5)
+    p = inter.init_params()
+    xyz = jnp.asarray(sys32.get_positions()) + 0.01
+    aux = inter.aux_init(xyz)
+    g = jax.grad(inter.energy, argnums=1)(p, xyz, aux)
+    eps = 1e-3
+    for (i, d) in [(0, 0), (5, 2)]:
+        dx = jnp.zeros_like(xyz).at[i, d].set(eps)
+        fd = (float(inter.energy(p, xyz + dx, aux))
+              - float(inter.energy(p, xyz - dx, aux))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i, d]), fd, rtol=5e-2, atol=1e-4)
+
+
+def test_gnn_md_with_prior_and_gradients(sys32):
+    """The water-fit configuration shape: SchNet + ExcludedVolume prior in
+    a Stack under NHC, gradients through an epoch into SchNet params."""
+    gnn = SchNet(PARAMS)
+    stack = Stack({
+        "nn": GNNPotentials(sys32, gnn, cutoff=2.5),
+        "prior": PairPotentials(sys32, potentials.ExcludedVolume(
+            sigma=0.9, epsilon=0.05, power=12), cutoff=2.5),
+    })
+    integ = NoseHooverChain(stack, sys32, T=1.0 / units.kB, num_chains=5,
+                            Q=50.0, adjoint=True)
+    sim = Simulation(sys32, integ)
+    ode = sim.epoch_fn(dt=0.005, frequency=10)
+    state, aux = sim.initial_state()
+    ctrl = integ.default_ctrl()
+
+    def loss(params):
+        traj, _ = ode(params, state, aux, ctrl)
+        return (traj.q[-1] ** 2).sum()
+
+    g = jax.grad(loss)(sim.params)
+    leaves = jax.tree_util.tree_leaves(g["nn"])
+    total = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert np.isfinite(total) and total > 0
+
+
+def test_atomwise_readout_keys(sys32):
+    gnn = SchNet({**PARAMS, "readout_keys": ("energy", "energy_1")})
+    z = jnp.asarray(sys32.get_atomic_numbers(), dtype=jnp.int32)
+    p = gnn.init_params(z)
+    xyz = jnp.asarray(sys32.get_positions())
+    cap = 512
+    nbrs = topology.generate_nbr_list(xyz, 2.5, sys32.get_cell(), cap)
+    off = nbrs.offsets @ jnp.asarray(sys32.get_cell())
+    out = gnn.atomwise(p, z, xyz, nbrs.idx, off, nbrs.mask)
+    assert set(out.keys()) == {"energy", "energy_1"}
+    assert out["energy"].shape == (32,)
