@@ -72,6 +72,17 @@ class PairPotentials(Interaction):
         self.model = pair_model
         self.cutoff = cutoff
         self.cell = jnp.asarray(system.get_cell() if cell is None else cell)
+        half_box = float(np.abs(np.diag(np.asarray(self.cell))).min()) / 2
+        if cutoff > half_box:
+            import warnings
+            # single-image minimum-image convention (same as the reference,
+            # topology.py:59-64) is ill-defined past L/2: pairs near the
+            # boundary get an arbitrary image and force directions become
+            # rounding-sensitive
+            warnings.warn(
+                f"cutoff {cutoff} exceeds half the box ({half_box:.3f}); "
+                "minimum-image pair selection is ambiguous -- enlarge the "
+                "box or reduce the cutoff", stacklevel=2)
         n = system.get_number_of_atoms()
         self.n_atoms = n
         self.select_mask = topology.pair_index_mask(n, index_tuple, ex_pairs)

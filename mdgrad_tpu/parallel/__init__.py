@@ -1,0 +1,6 @@
+from .mesh import make_mesh
+from .replica import (spatial_pair_energy, make_sharded_epoch,
+                      make_sharded_fit_step)
+
+__all__ = ["make_mesh", "spatial_pair_energy", "make_sharded_epoch",
+           "make_sharded_fit_step"]

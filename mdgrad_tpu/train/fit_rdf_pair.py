@@ -1,0 +1,262 @@
+"""Pair-potential fitting to target RDF (+ VACF): the LJ/Yukawa/Morse
+workloads.
+
+Parity target: ``fit_lj`` (/root/reference/scripts/fit_rdf_pair.py:297-610):
+model = Stack{pairMLP + LJFamily(eps=2, rep=6, attr=3) prior}
+(fit_rdf_pair.py:355-358), NHC(Q=50, 5 chains) simulators per state point,
+targets either loaded from the registry's rdf/vacf files or *self-generated*
+by simulating the ground-truth analytic potential (``get_target_obs``,
+fit_rdf_pair.py:159-204), per-epoch loss = rdf_weight * mean-MSE of the
+per-frame-averaged RDF + vacf_weight * VACF MSE (fit_rdf_pair.py:455-510),
+Adam + reduce-on-plateau on the MLP only, NaN bailout.
+
+TPU-native: per-frame RDFs are one vmap (the reference loops frames in
+Python "to save memory", fit_rdf_pair.py:454-462 -- on TPU the vmapped
+soft histogram is a single fused program); the whole epoch loss+grad is one
+jitted XLA program per state point.
+"""
+
+import os
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import potentials as pot_zoo
+from ..interface import PairPotentials, Stack
+from ..md import NoseHooverChain, Simulation
+from ..observables import rdf as rdf_obs_cls, vacf as vacf_obs_cls
+from ..nn import PairMLP
+from ..data import pair_data_dict, get_exp_rdf
+from .fit_rdf import get_system
+
+TARGET_POT_CLASSES = {
+    "LennardJones": pot_zoo.LennardJones,
+    "ExcludedVolume": pot_zoo.ExcludedVolume,
+    "Yukawa": pot_zoo.Yukawa,
+    "Morse": pot_zoo.Morse,
+    "LJFamily": pot_zoo.LJFamily,
+}
+
+
+def resolve_target_pot(spec):
+    """Registry entries carry ('ClassName', kwargs) specs."""
+    if spec is None:
+        return None
+    if isinstance(spec, tuple):
+        name, kw = spec
+        if name == "SplineOverlap":
+            return pot_zoo.spline_overlap(**kw)
+        return TARGET_POT_CLASSES[name](**kw)
+    return spec
+
+
+def get_target_obs(system, entry, n_sim, rdf_range, nbins, t_range,
+                   dt, skip=2, steps_per_sim=100, rng=None):
+    """Simulate the ground-truth potential to generate target RDF/VACF
+    (parity: reference fit_rdf_pair.py:159-204)."""
+    target_pot = resolve_target_pot(entry["target_pot"])
+    pot_int = PairPotentials(system, target_pot, cutoff=2.5)
+    integ = NoseHooverChain(pot_int, system, T=entry["T"], Q=50.0,
+                            num_chains=5, adjoint=False)
+    sim = Simulation(system, integ)
+    robs = rdf_obs_cls(system, nbins=nbins, r_range=rdf_range)
+    vobs = vacf_obs_cls(system, t_range=t_range)
+    gs, vacfs = [], []
+    for i in range(n_sim):
+        traj = sim.simulate(steps_per_sim, dt=dt,
+                            frequency=steps_per_sim)
+        if i >= skip:
+            _, _, g = robs(traj.q[-1])
+            gs.append(np.asarray(g))
+            vacfs.append(np.asarray(vobs(traj.v)))
+    return np.mean(gs, axis=0), np.mean(vacfs, axis=0)
+
+
+def get_observer(system, data_tag, nbins, t_range, rdf_start,
+                 registry=None, target_nsim=20, rng=None):
+    """(r_axis, rdf_target, rdf obs, vacf_target, vacf obs); loads file
+    targets or self-generates (parity: fit_rdf_pair.py:206-248)."""
+    registry = pair_data_dict if registry is None else registry
+    entry = registry[data_tag]
+    dt = entry.get("dt", 0.01)
+    rdf_end = entry["end"]
+    dim = entry.get("dim", 3)
+    robs = rdf_obs_cls(system, nbins, (rdf_start, rdf_end))
+    vobs = vacf_obs_cls(system, t_range=t_range)
+    fn = entry.get("rdf_fn") or entry.get("fn")
+    if fn and os.path.exists(fn):
+        rdf_data = np.loadtxt(fn, delimiter=",")
+        vacf_target = None
+        if entry.get("vacf_fn") and os.path.exists(entry["vacf_fn"]):
+            vacf_target = np.loadtxt(entry["vacf_fn"],
+                                     delimiter=",")[:t_range]
+    else:
+        g, vacf_target = get_target_obs(system, entry, target_nsim,
+                                        (rdf_start, rdf_end), nbins,
+                                        t_range, dt, rng=rng)
+        rdf_data = np.vstack([np.linspace(rdf_start, rdf_end, nbins), g])
+    x, rdf_target = get_exp_rdf(rdf_data, nbins, (rdf_start, rdf_end),
+                                dim=dim)
+    return (x, jnp.asarray(rdf_target), robs,
+            None if vacf_target is None else jnp.asarray(vacf_target),
+            vobs)
+
+
+def fit_lj(assignments, sys_params, model_path=None, log=print,
+           registry=None, rng=None):
+    """Train a pairMLP + LJFamily prior against target RDF/VACF.
+
+    Returns dict with loss history, final observables, and the recovered
+    pair potential u(r) on a grid (for comparison against the ground
+    truth, reference plot_pair fit_rdf_pair.py:266-295).
+    """
+    registry = pair_data_dict if registry is None else registry
+    rng = np.random.default_rng(0) if rng is None else rng
+    n_epochs = sys_params["n_epochs"]
+    size = sys_params["size"]
+    cutoff = sys_params["cutoff"]
+    t_range = sys_params["t_range"]
+    nbins = assignments["nbins"]
+    tau = assignments["opt_freq"]
+    frame_skip = sys_params.get("frame_skip", 5)
+    train_list = list(sys_params["data"])
+    all_sys = train_list + list(sys_params.get("val") or [])
+
+    if model_path:
+        os.makedirs(model_path, exist_ok=True)
+        with open(os.path.join(model_path, "paramset.json"), "w") as f:
+            json.dump({**{k: str(v) for k, v in sys_params.items()},
+                       **{k: str(v) for k, v in assignments.items()}}, f,
+                      indent=2)
+
+    net = PairMLP(n_gauss=int(cutoff // assignments["gaussian_width"]),
+                  r_start=0.0, r_end=cutoff,
+                  n_width=assignments["n_width"],
+                  n_layers=assignments["n_layers"],
+                  nonlinear=assignments["nonlinear"])
+    # soft-core prior (reference fit_rdf_pair.py:358)
+    prior = pot_zoo.LJFamily(epsilon=2.0, sigma=assignments["sigma"],
+                             rep_pow=6, attr_pow=3)
+
+    systems, sims, observers = [], [], []
+    params = None
+    for tag in all_sys:
+        system = get_system(tag, size, registry, rng=rng)
+        stack = Stack({
+            "pairnn": PairPotentials(system, net, cutoff=cutoff),
+            "pair": PairPotentials(system, prior, cutoff=2.5),
+        })
+        integ = NoseHooverChain(
+            stack, system, T=registry[tag]["T"], Q=50.0, num_chains=5,
+            adjoint=True,
+            topology_update_freq=sys_params.get("topology_update_freq", 1))
+        sim = Simulation(system, integ)
+        params = sim.params if params is None else params
+        sim.params = params
+        rdf_start = registry[tag].get("start", 0.75)
+        observers.append(get_observer(
+            system, tag, nbins, t_range, rdf_start, registry,
+            target_nsim=sys_params.get("target_nsim", 8), rng=rng))
+        systems.append(system)
+        sims.append(sim)
+
+    # optimizer on the MLP only (reference fit_rdf_pair.py:404)
+    def label(path, _):
+        return "train" if getattr(path[0], "key", None) == "pairnn" \
+            else "frozen"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    opt = optax.multi_transform(
+        {"train": optax.chain(
+            optax.adam(assignments["lr"]),
+            optax.contrib.reduce_on_plateau(factor=0.5, patience=20,
+                                            min_scale=1e-3, atol=5e-5)),
+         "frozen": optax.set_to_zero()}, labels)
+    opt_state = opt.init(params)
+
+    # one jitted loss+grad per state point
+    vgs, md_states = [], []
+    for j, tag in enumerate(all_sys):
+        sim = sims[j]
+        entry = registry[tag]
+        dt = entry.get("dt", 0.01)
+        ode = sim.epoch_fn(dt, tau)
+        x, g_t, robs, vacf_t, vobs = observers[j]
+        rdf_w = assignments.get("rdf_weight", 1.0)
+        vacf_w = assignments.get("vacf_weight", 0.0)
+        use_vacf = (str(assignments.get("train_vacf", "False")) == "True"
+                    and vacf_t is not None)
+
+        def make(ode=ode, robs=robs, vobs=vobs, g_t=g_t, vacf_t=vacf_t,
+                 use_vacf=use_vacf, rdf_w=rdf_w, vacf_w=vacf_w):
+            def loss_fn(p, state, aux, ctrl):
+                traj, final_aux = ode(p, state, aux, ctrl)
+                frames = traj.q[::frame_skip]
+                # per-frame-averaged RDF (parity: fit_rdf_pair.py:454-462)
+                g = jax.vmap(lambda q: robs(q)[2])(frames).mean(0)
+                loss = rdf_w * ((g - g_t) ** 2).mean()
+                vacf_sim = vobs(traj.v)
+                if use_vacf:
+                    loss = loss + vacf_w * (
+                        (vacf_sim - vacf_t[:t_range]) ** 2).mean()
+                last = jax.tree_util.tree_map(lambda a: a[-1], traj)
+                return loss, (g, vacf_sim, last, final_aux)
+            return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        vgs.append(make())
+        md_states.append(sim.initial_state())
+
+    loss_log, obs_log = [], {t: {"rdf": [], "vacf": []} for t in all_sys}
+    for epoch in range(n_epochs):
+        total = 0.0
+        grads_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+        for j, tag in enumerate(all_sys):
+            state, aux = md_states[j]
+            ctrl = sims[j].integrator.default_ctrl()
+            (loss, (g, vacf_sim, last, faux)), grads = vgs[j](
+                params, state, aux, ctrl)
+            if not bool(jnp.isfinite(last.q).all()):
+                log(f"NaN bailout at epoch {epoch} ({tag})")
+                return {"objective": 5 - (epoch / n_epochs) * 5,
+                        "nan_bailout": True, "loss_log": loss_log}
+            md_states[j] = (jax.lax.stop_gradient(last), faux)
+            obs_log[tag]["rdf"].append(np.asarray(g))
+            obs_log[tag]["vacf"].append(np.asarray(vacf_sim))
+            if tag in train_list:
+                total += float(loss)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc,
+                                                   grads)
+        updates, opt_state = opt.update(grads_acc, opt_state, params,
+                                        value=jnp.asarray(total))
+        params = optax.apply_updates(params, updates)
+        for sim in sims:
+            sim.params = params
+        loss_log.append(total)
+        log(f"epoch {epoch} | loss: {total:.6f}")
+
+    # recovered potential on a grid (reference plot_pair)
+    r_grid = np.linspace(0.3, cutoff, 250)
+    u_fit = (np.asarray(net(params["pairnn"],
+                            jnp.asarray(r_grid)[:, None])).squeeze(-1)
+             + np.asarray(prior(params["pair"],
+                                jnp.asarray(r_grid)[:, None])).squeeze(-1))
+    u_fit = u_fit - u_fit[-1]
+    target_spec = registry[train_list[0]].get("target_pot")
+    u_target = None
+    if target_spec is not None:
+        tp = resolve_target_pot(target_spec)
+        u_t = np.asarray(tp(tp.init_params(),
+                            jnp.asarray(r_grid)[:, None])).squeeze(-1)
+        u_target = u_t - u_t[-1]
+
+    results = {"loss_log": loss_log, "obs_log": obs_log, "params": params,
+               "r_grid": r_grid, "u_fit": u_fit, "u_target": u_target,
+               "objective": loss_log[-1] if loss_log else float("nan")}
+    if model_path:
+        np.savetxt(os.path.join(model_path, "loss.txt"),
+                   np.asarray(loss_log))
+        np.savetxt(os.path.join(model_path, "potential.txt"),
+                   np.vstack([r_grid, u_fit]))
+    return results

@@ -147,3 +147,47 @@ def test_gradient_step_descends(synthetic_registry):
         if float(l1) < float(l0):
             return
     raise AssertionError(f"no descent: l0={float(l0)}, l1={float(l1)}")
+
+
+def test_fit_lj_self_generated_targets():
+    """fit_lj with no target file: ground-truth LJ simulated to create the
+    target (reference fit_rdf_pair.get_target_obs), then a pairMLP+prior
+    fitted for 2 epochs; recovered-potential grid is produced."""
+    from mdgrad_tpu.train.fit_rdf_pair import fit_lj
+    registry = {"ljx": {"rho": 0.845, "T": 1.2, "start": 0.75, "end": 2.5,
+                        "element": "H", "mass": 1.0, "N_unitcell": 4,
+                        "cell": "fcc", "reduced_units": True, "dt": 0.01,
+                        "target_pot": ("LennardJones", {})}}
+    out = fit_lj(
+        {"nbins": 40, "opt_freq": 16, "lr": 3e-3, "sigma": 0.9,
+         "gaussian_width": 0.1, "n_width": 24, "n_layers": 1,
+         "nonlinear": "SELU", "rdf_weight": 1.0, "vacf_weight": 0.1,
+         "train_vacf": "True"},
+        {"size": 2, "cutoff": 2.5, "t_range": 10, "n_epochs": 2,
+         "n_sim": 1, "data": ["ljx"], "val": None, "target_nsim": 4,
+         "frame_skip": 4},
+        registry=registry, rng=np.random.default_rng(2),
+        log=lambda *a: None)
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 2
+    assert out["u_target"] is not None
+    assert out["u_fit"].shape == out["u_target"].shape
+    assert np.isfinite(out["u_fit"]).all()
+
+
+def test_fit_mix_partial_rdfs():
+    """Binary mixture: 3 partial-RDF targets self-generated with
+    species-restricted LJ truth, 3 pairMLPs + shared prior fitted
+    (reference fit_2_comp.py)."""
+    from mdgrad_tpu.train.fit_mix import fit_mix
+    out = fit_mix(size=2, n_epochs=2, tau=11, nbins=32,
+                  rdf_range=(0.6, 1.6), n_target_epochs=3,
+                  target_steps=20, log=lambda *a: None,
+                  rng=np.random.default_rng(3))
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 2
+    assert set(out["recovered"]) == {"11", "12", "22"}
+    for k, v in out["recovered"].items():
+        assert np.isfinite(v).all()
+    # partial selections are disjoint: targets differ between species pairs
+    assert not np.allclose(out["targets"]["11"], out["targets"]["22"])
