@@ -191,3 +191,22 @@ def test_fit_mix_partial_rdfs():
         assert np.isfinite(v).all()
     # partial selections are disjoint: targets differ between species pairs
     assert not np.allclose(out["targets"]["11"], out["targets"]["22"])
+
+
+def test_fold_helix_smoke():
+    """Folding driver: straight chain + bond prior + SchNet + excluded
+    volume under NHC, internal-coordinate losses (reference demo/fold.py);
+    warmup epoch skips the degenerate straight-chain dihedrals."""
+    from mdgrad_tpu.train.fold import train_fold
+    out = train_fold({
+        "n_atoms": 16, "n_spiral": 3, "a_spiral": 1.2, "dz_spiral": 0.25,
+        "loss_cutoff": 4.0, "k0": 5.0, "epsilon": 0.05, "sigma": 0.9,
+        "n_atom_basis": 32, "n_filters": 32, "n_gaussians": 16,
+        "n_convolutions": 2, "cutoff": 3.0, "T": 0.1,
+        "method": "NH_verlet", "dt": 0.01, "tau": 11, "lr": 1e-3,
+        "l_b": 1.0, "l_a": 1.0, "l_d": 1.0, "l_dis": 1.0, "n_epochs": 3},
+        rng=np.random.default_rng(4), log=lambda *a: None)
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 2  # warmup epoch skipped
+    assert all(np.isfinite(v) for v in out["loss_log"])
+    assert np.isfinite(out["final_frame"]).all()
