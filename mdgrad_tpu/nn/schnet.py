@@ -159,3 +159,26 @@ class SchNet:
         u, g = jax.value_and_grad(self.energy, argnums=2)(
             params, z, xyz, idx, offsets_real, mask)
         return u, -g
+
+    # -- padded-batch apply (supervised training path) -----------------------
+    def batched_energy(self, params, batch):
+        """Per-molecule energies over a padded batch
+        (see mdgrad_tpu/data/loader.py): z=0 padding rows are masked out
+        of the atomwise sum."""
+        def one(z, xyz, idx, off, nbr_mask, atom_mask):
+            per_atom = self.atomwise(params, z, xyz, idx, off,
+                                     nbr_mask)["energy"]
+            return (per_atom * atom_mask).sum()
+        return jax.vmap(one)(batch["z"], batch["xyz"], batch["nbr_idx"],
+                             batch["offsets"], batch["nbr_mask"],
+                             batch["atom_mask"])
+
+    def batched_predict(self, params, batch):
+        """{'energy': (B,), 'energy_grad': (B, N, 3)} -- the supervised
+        targets (parity: reference batch_and_sum, nff/nn/graphop.py:32-63;
+        energy_grad = +dU/dxyz like the reference's convention)."""
+        def e_fn(xyz):
+            return self.batched_energy(params, {**batch, "xyz": xyz}).sum()
+        grad = jax.grad(e_fn)(batch["xyz"])
+        return {"energy": self.batched_energy(params, batch),
+                "energy_grad": grad}
