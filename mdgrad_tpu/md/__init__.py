@@ -1,7 +1,8 @@
-from .integrators import NVE, NoseHooverChain, NVEState, NVTState
+from .integrators import (NVE, NoseHooverChain, Langevin, NVEState,
+                          NVTState)
 from .simulation import Simulation, Simulations
 from .adjoint import make_odeint
 from .isomerization import Isomerization
 
-__all__ = ["NVE", "NoseHooverChain", "NVEState", "NVTState",
+__all__ = ["NVE", "NoseHooverChain", "Langevin", "NVEState", "NVTState",
            "Simulation", "Simulations", "make_odeint", "Isomerization"]

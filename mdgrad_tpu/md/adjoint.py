@@ -35,13 +35,44 @@ import jax
 import jax.numpy as jnp
 
 
+def _is_float(v):
+    return jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+
+
 def _zero_cotangent(pytree):
     """Zero cotangents for a pytree that may hold int/bool leaves."""
     def z(v):
-        if jnp.issubdtype(v.dtype, jnp.floating):
+        if _is_float(v):
             return jnp.zeros_like(v)
         return np.zeros(v.shape, dtype=jax.dtypes.float0)
     return jax.tree_util.tree_map(z, pytree)
+
+
+def _zero_accumulator(pytree):
+    """Float-typed accumulator: int/bool leaves (e.g. a Langevin noise
+    counter in ctrl) get dummy f32 zeros so the pytree can ride a scan
+    carry; they are converted back to float0 on exit."""
+    def z(v):
+        if _is_float(v):
+            return jnp.zeros_like(v)
+        return jnp.zeros(v.shape, dtype=jnp.float32)
+    return jax.tree_util.tree_map(z, pytree)
+
+
+def _ct_add(acc, ct):
+    """Accumulate a cotangent, ignoring float0 entries (int/bool leaves)."""
+    if hasattr(ct, "dtype") and ct.dtype == jax.dtypes.float0:
+        return acc
+    return jnp.add(acc, ct)
+
+
+def _finalize_ct(primal, acc):
+    """Convert accumulator entries for non-float primals back to float0."""
+    def f(p, a):
+        if _is_float(p):
+            return a
+        return np.zeros(np.shape(p), dtype=jax.dtypes.float0)
+    return jax.tree_util.tree_map(f, primal, acc)
 
 
 def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
@@ -106,9 +137,8 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
 
         ct_last = jax.tree_util.tree_map(lambda x: x[-1], ct_traj)
         ct_rest = jax.tree_util.tree_map(lambda x: x[:-1], ct_traj)
-        zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)
-        zero_ctrl = jax.tree_util.tree_map(
-            lambda v: jnp.zeros_like(v), ctrl)
+        zero_params = _zero_accumulator(params)
+        zero_ctrl = _zero_accumulator(ctrl)
 
         def body(carry, xs):
             adj, dparams, dctrl = carry
@@ -117,8 +147,8 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
                 lambda p, s, c: step_fn(p, s, aux_i, c, i),
                 params, state_i, ctrl)
             dp, ds, dc = vjp(adj)
-            dparams = jax.tree_util.tree_map(jnp.add, dparams, dp)
-            dctrl = jax.tree_util.tree_map(jnp.add, dctrl, dc)
+            dparams = jax.tree_util.tree_map(_ct_add, dparams, dp)
+            dctrl = jax.tree_util.tree_map(_ct_add, dctrl, dc)
             adj = jax.tree_util.tree_map(jnp.add, ds, ct_i)
             return (adj, dparams, dctrl), None
 
@@ -127,7 +157,8 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
         (adj, dparams, dctrl), _ = jax.lax.scan(
             body, (ct_last, zero_params, zero_ctrl),
             (rev(states_in), rev(auxs), rev(ct_rest), idx))
-        return dparams, adj, _zero_cotangent(aux0), dctrl
+        return (_finalize_ct(params, dparams), adj,
+                _zero_cotangent(aux0), _finalize_ct(ctrl, dctrl))
 
     odeint.defvjp(odeint_fwd, odeint_bwd)
     return odeint

@@ -129,6 +129,68 @@ class NVE(_MDIntegrator):
         return NVEState(v=f / self.masses, q=state.v)
 
 
+class Langevin(_MDIntegrator):
+    """BAOAB Langevin thermostat.
+
+    New TPU-native capability: the reference's non-differentiable MD path
+    defaults to ``ase.md.langevin.Langevin`` (nff/md/TI.py:18-19,26) which
+    has no analog in its differentiable core.  BAOAB splitting: half-kick,
+    half-drift, Ornstein-Uhlenbeck velocity refresh, half-drift, half-kick.
+
+    Noise is a *pure function of the global step index* --
+    ``fold_in(PRNGKey(seed), noise_step0 + i)`` -- so the state stays an
+    all-float pytree (adjoint-compatible) and trajectories are exactly
+    reproducible; ``noise_step0`` advances per epoch via
+    :meth:`advance_ctrl` so restarted epochs draw fresh noise.  Gradients
+    flow through the deterministic map; noise is data.
+    """
+
+    state_keys = ["velocities", "positions"]
+    default_method = "langevin"
+
+    def __init__(self, potentials, system, T, friction=0.01, adjoint=True,
+                 topology_update_freq=1, seed=0):
+        super().__init__(potentials, system, adjoint, topology_update_freq)
+        self.T = T
+        self.friction = friction
+        self.base_key = jax.random.PRNGKey(seed)
+
+    def default_ctrl(self):
+        return {"kT": jnp.asarray(self.T * units.kB),
+                "noise_step0": jnp.asarray(0, dtype=jnp.uint32)}
+
+    def advance_ctrl(self, ctrl, n_steps):
+        return {**ctrl,
+                "noise_step0": ctrl["noise_step0"] + jnp.uint32(n_steps)}
+
+    def update_T(self, T):
+        self.T = T
+        return self.default_ctrl()
+
+    def initial_state(self, wrap=True):
+        return NVEState(
+            v=jnp.asarray(self.system.get_velocities()),
+            q=jnp.asarray(self.system.get_positions(wrap=wrap)))
+
+    def step(self, params, state, aux, ctrl, t, dt, method=None):
+        kT = ctrl["kT"]
+        m = self.masses
+        v, q = state
+        i = jnp.asarray(t / dt, dtype=jnp.uint32)
+        sub = jax.random.fold_in(self.base_key, ctrl["noise_step0"] + i)
+        f0 = self.force(params, q, aux)
+        v = v + 0.5 * dt * f0 / m                      # B
+        q = q + 0.5 * dt * v                           # A
+        c1 = jnp.exp(-self.friction * dt)              # O
+        c2 = jnp.sqrt(kT * (1 - c1 ** 2) / m)
+        noise = jax.random.normal(sub, v.shape, dtype=v.dtype)
+        v = c1 * v + c2 * noise
+        q = q + 0.5 * dt * v                           # A
+        f1 = self.force(params, q, aux)
+        v = v + 0.5 * dt * f1 / m                      # B
+        return NVEState(v=v, q=q)
+
+
 class NoseHooverChain(_MDIntegrator):
     """NVT via a Nose-Hoover chain (parity: reference md.py:159-249).
 

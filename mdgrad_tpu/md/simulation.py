@@ -108,6 +108,9 @@ class Simulation:
         traj = None
         for _ in range(sim_epochs):
             traj, self.aux = ode(self.params, self.state, self.aux, ctrl)
+            if hasattr(self.integrator, "advance_ctrl"):
+                ctrl = self.integrator.advance_ctrl(
+                    ctrl, max(int(frequency) - 1, 1))
             last = jax.tree_util.tree_map(lambda x: x[-1], traj)
             # detach across epochs (truncated BPTT, reference md.py:47-58)
             self.state = jax.lax.stop_gradient(last)

@@ -47,7 +47,7 @@ class SchNetConv(fnn.Module):
     trainable_gauss: bool = False
 
     @fnn.compact
-    def __call__(self, r, e, idx, mask, n_atoms):
+    def __call__(self, r, e, idx, mask, n_atoms, aggr_wgt=None):
         # edge filter: smearing -> Dense -> ssp -> Dense
         # (reference modules.py:530-541)
         init_off = np.linspace(0.0, self.cutoff, self.n_gaussians)
@@ -68,8 +68,12 @@ class SchNetConv(fnn.Module):
         ef = shifted_softplus(fnn.Dense(self.n_gaussians)(ef))
         ef = fnn.Dense(self.n_filters)(ef)
 
-        # node filter (reference modules.py:542)
+        # node filter (reference modules.py:542); optional per-atom
+        # aggregation weights for thermodynamic integration (reference
+        # modules.py message(): 'r = r * aggr_wgt', graphconvintegration.py)
         rf = fnn.Dense(self.n_filters)(r)
+        if aggr_wgt is not None:
+            rf = rf * aggr_wgt[:, None]
 
         # messages both directions (reference modules.py:571,
         # graphconv.py:48-51), padded edges zeroed
@@ -95,7 +99,7 @@ class _SchNetModule(fnn.Module):
     readout_keys: typing.Tuple[str, ...] = ("energy",)
 
     @fnn.compact
-    def __call__(self, z, xyz, idx, offsets_real, mask):
+    def __call__(self, z, xyz, idx, offsets_real, mask, aggr_wgt=None):
         n_atoms = z.shape[0]
         # pad-safe gather: sentinel row for index N
         ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
@@ -106,7 +110,8 @@ class _SchNetModule(fnn.Module):
         for _ in range(self.n_convolutions):
             dr = SchNetConv(self.n_atom_basis, self.n_filters,
                             self.n_gaussians, self.cutoff,
-                            self.trainable_gauss)(r, e, idx, mask, n_atoms)
+                            self.trainable_gauss)(r, e, idx, mask, n_atoms,
+                                                  aggr_wgt)
             r = r + dr  # residual stack (reference schnet.py:149-151)
 
         out = {}
@@ -144,15 +149,17 @@ class SchNet:
             key, jnp.asarray(z), jnp.zeros((n, 3)), idx,
             jnp.zeros((1, 3)), jnp.ones(1, dtype=bool))["params"]
 
-    def atomwise(self, params, z, xyz, idx, offsets_real, mask):
+    def atomwise(self, params, z, xyz, idx, offsets_real, mask,
+                 aggr_wgt=None):
         """Per-atom readout dict (keys -> (N,))."""
         return self.module.apply({"params": params}, z, xyz, idx,
-                                 offsets_real, mask)
+                                 offsets_real, mask, aggr_wgt)
 
-    def energy(self, params, z, xyz, idx, offsets_real, mask):
+    def energy(self, params, z, xyz, idx, offsets_real, mask,
+               aggr_wgt=None):
         """Total potential energy (scalar)."""
-        return self.atomwise(params, z, xyz, idx, offsets_real,
-                             mask)["energy"].sum()
+        return self.atomwise(params, z, xyz, idx, offsets_real, mask,
+                             aggr_wgt)["energy"].sum()
 
     def energy_and_forces(self, params, z, xyz, idx, offsets_real, mask):
         """(U, F = -dU/dxyz); differentiable for grad-of-grad training."""
