@@ -1,0 +1,127 @@
+"""Bonded-topology generation and the AuTopology classical-FF learner."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdgrad_tpu.data.topology import (generate_angles, generate_dihedrals,
+                                      generate_impropers, generate_pairs,
+                                      generate_topologies,
+                                      bonds_from_distances,
+                                      molecular_subgraphs,
+                                      reconstruct_atoms)
+from mdgrad_tpu.nn.autopology import AuTopology
+from mdgrad_tpu.lattice import straight_chain
+
+
+def chain_bonds(n):
+    return np.stack([np.arange(n - 1), np.arange(1, n)], -1)
+
+
+def test_chain_topology_counts():
+    n = 8
+    bonds = chain_bonds(n)
+    assert len(generate_angles(bonds, n)) == n - 2
+    assert len(generate_dihedrals(bonds, n)) == n - 3
+    assert len(generate_impropers(bonds, n)) == 0  # no 3-coordinate atoms
+    # pairs: all (i<j) minus 1-2, 1-3, 1-4
+    pairs = generate_pairs(bonds, n, exclude_14=True)
+    expected = n * (n - 1) // 2 - (n - 1) - (n - 2) - (n - 3)
+    assert len(pairs) == expected
+
+
+def test_branched_impropers():
+    # star: atom 0 bonded to 1,2,3 -> one improper at center 0
+    bonds = np.array([[0, 1], [0, 2], [0, 3]])
+    imp = generate_impropers(bonds, 4)
+    assert len(imp) == 1 and imp[0, 0] == 0
+    ang = generate_angles(bonds, 4)
+    assert len(ang) == 3  # C(3,2) at the center
+
+
+def test_bonds_from_distances_and_subgraphs():
+    xyz1, _ = straight_chain(4, 1.0, origin=(0, 0, 0))
+    xyz2, _ = straight_chain(3, 1.0, origin=(10, 10, 10))
+    xyz = np.concatenate([xyz1, xyz2])
+    bonds = bonds_from_distances(xyz, cutoff=1.2)
+    assert len(bonds) == 5
+    comps = molecular_subgraphs(bonds, 7)
+    assert sorted(map(len, comps)) == [3, 4]
+
+
+def test_reconstruct_atoms_unwraps():
+    # molecule split across the boundary of a 10-box
+    xyz = np.array([[9.8, 0, 0], [0.2, 0, 0]])  # bonded, wrapped apart
+    out = reconstruct_atoms(xyz, [[0, 1]], np.array([10.0, 10, 10]))
+    assert abs(np.linalg.norm(out[0] - out[1]) - 0.4) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def auto_setup():
+    n = 8
+    rng = np.random.default_rng(0)
+    xyz, _ = straight_chain(n, 1.2, origin=(0, 0, 0))
+    xyz = xyz + rng.normal(0, 0.08, xyz.shape)
+    tops_np = generate_topologies(chain_bonds(n), n)
+    model = AuTopology({
+        "Fr": 16, "Lh": [16], "bond_terms": ["harmonic"],
+        "angle_terms": ["harmonic"], "dihedral_terms": ["OPLS"],
+        "pair_terms": ["LJ"], "n_convolutions": 2,
+        "trainable_prior": True})
+    tops, masks = model.prepare_topologies(tops_np)
+    z = jnp.ones(n, dtype=jnp.int32)
+    params = model.init_params(z, tops, masks)
+    return model, params, z, jnp.asarray(xyz), tops, masks
+
+
+def test_autopology_energy_and_forces(auto_setup):
+    model, params, z, xyz, tops, masks = auto_setup
+    u, f = model.energy_and_forces(params, z, xyz, tops, masks)
+    assert np.isfinite(float(u))
+    assert f.shape == xyz.shape and np.isfinite(np.asarray(f)).all()
+
+
+def test_autopology_forces_match_fd(auto_setup):
+    model, params, z, xyz, tops, masks = auto_setup
+    g = jax.grad(model.energy, argnums=2)(params, z, xyz, tops, masks)
+    eps = 1e-3
+    dx = jnp.zeros_like(xyz).at[3, 1].set(eps)
+    fd = (float(model.energy(params, z, xyz + dx, tops, masks))
+          - float(model.energy(params, z, xyz - dx, tops, masks))) / (2 * eps)
+    np.testing.assert_allclose(float(g[3, 1]), fd, rtol=5e-2, atol=1e-3)
+
+
+def test_autopology_trains(auto_setup):
+    """One gradient step on an energy-matching loss reduces it."""
+    model, params, z, xyz, tops, masks = auto_setup
+    target = 1.0
+
+    def loss(p):
+        return (model.energy(p, z, xyz, tops, masks) - target) ** 2
+
+    l0, g = jax.value_and_grad(loss)(params)
+    for lr in (1e-6, 1e-7, 1e-8, 1e-9):
+        p1 = jax.tree_util.tree_map(lambda a, b: a - lr * b, params, g)
+        if float(loss(p1)) < float(l0):
+            return
+    raise AssertionError(f"no descent from l0={float(l0)}")
+
+
+def test_nontrainable_prior_returns_constant_params(auto_setup):
+    model = AuTopology({"Fr": 8, "Lh": [8], "bond_terms": ["harmonic"],
+                        "trainable_prior": False, "n_convolutions": 1})
+    n = 6
+    xyz, _ = straight_chain(n, 1.2)
+    tops, masks = model.prepare_topologies(
+        generate_topologies(chain_bonds(n), n))
+    z = jnp.ones(n, dtype=jnp.int32)
+    params = model.init_params(z, tops, masks)
+    # ZeroNet parameter heads: energy = pure priors (r0=1.5, k=100)
+    u = float(model.energy(params, z, jnp.asarray(xyz), tops, masks))
+    d = 1.2
+    expected_bond = (n - 1) * 50.0 * (d - 1.5) ** 2
+    # offset head is trainable -> subtract by evaluating at r0 distance
+    xyz0, _ = straight_chain(n, 1.5)
+    u0 = float(model.energy(params, z, jnp.asarray(xyz0), tops, masks))
+    np.testing.assert_allclose(u - u0, expected_bond, rtol=1e-4)
