@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""LJ pair-potential fitting runner.
+
+Parity target: /root/reference/scripts/run_lj.py -- argparse flags
+(-logdir, -data, -nruns, -sigma, -cutoff, -dt, -update_freq, -vacf_weight,
+--dry_run shrinking epochs, run_lj.py:9-46) driving fit_lj with the
+hard-coded best assignments (run_lj.py:50-79).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-logdir", type=str, default="outputs/lj")
+    p.add_argument("-data", type=str, nargs="+", default=["lj_0.7_0.4"])
+    p.add_argument("-val", type=str, nargs="+", default=None)
+    p.add_argument("-nruns", type=int, default=1)
+    p.add_argument("-sigma", type=float, default=0.9)
+    p.add_argument("-cutoff", type=float, default=2.5)
+    p.add_argument("-dt", type=float, default=0.005)
+    p.add_argument("-update_freq", type=int, default=1)
+    p.add_argument("-vacf_weight", type=float, default=0.0)
+    p.add_argument("-nepochs", type=int, default=300)
+    p.add_argument("-size", type=int, default=4)
+    p.add_argument("--dry_run", action="store_true")
+    args = p.parse_args()
+
+    assignments = {
+        "nbins": 100, "opt_freq": 120, "lr": 2e-3,
+        "sigma": args.sigma, "gaussian_width": 0.1, "n_width": 128,
+        "n_layers": 3, "nonlinear": "SELU",
+        "rdf_weight": 1.0, "vacf_weight": args.vacf_weight,
+        "train_vacf": "True" if args.vacf_weight > 0 else "False",
+    }
+    sys_params = {
+        "size": args.size, "cutoff": args.cutoff, "t_range": 50,
+        "n_epochs": args.nepochs, "n_sim": 10, "data": args.data,
+        "val": args.val, "topology_update_freq": args.update_freq,
+    }
+    if args.dry_run:
+        assignments["opt_freq"] = 21
+        sys_params.update(n_epochs=2, n_sim=1, size=2, t_range=10,
+                          target_nsim=4, frame_skip=5)
+
+    from mdgrad_tpu.train.fit_rdf_pair import fit_lj
+    for i in range(args.nruns):
+        out = fit_lj(assignments, sys_params,
+                     model_path=os.path.join(args.logdir, str(i)))
+        print("objective:", out["objective"])
+
+
+if __name__ == "__main__":
+    main()

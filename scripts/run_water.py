@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Water O-O RDF fitting runner (the north-star workload).
+
+Parity target: /root/reference/scripts/run_water.py -- GNN assignments
+(the "low" SchNet config, run_water.py:38-46 commented block) or pair-MLP
+assignments (run_water.py:55-56), sys_params with size=4 diamond init and
+dt=0.5 fs (run_water.py:58-70).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-logdir", type=str, default="outputs/water")
+    p.add_argument("-data", type=str, nargs="+",
+                   default=["H20_298K_redd"])
+    p.add_argument("-val", type=str, nargs="+", default=None)
+    p.add_argument("-nepochs", type=int, default=700)
+    p.add_argument("-nsim", type=int, default=20)
+    p.add_argument("-nruns", type=int, default=1)
+    p.add_argument("--pair", action="store_true")
+    p.add_argument("--tpair", action="store_true")
+    p.add_argument("--dry_run", action="store_true")
+    args = p.parse_args()
+
+    if args.pair or args.tpair:
+        # pair-MLP best params (reference run_water.py:55-56)
+        assignments = {
+            "cutoff": 6.0, "epsilon": 1.8245160642515632,
+            "gaussian_width": 0.15,
+            "lr": 0.0006548601438181719, "mse_weight": 0.345,
+            "n_layers": 3, "n_width": 115, "nbins": 400,
+            "nonlinear": "ELU", "opt_freq": 192, "power": 12,
+            "sigma": 1.68191635809129,
+        }
+    else:
+        # GNN best params (reference run_water.py:32-46)
+        assignments = {
+            "cutoff": 6.0, "epsilon": 0.010637550996566496,
+            "gaussian_width": 0.195, "lr": 0.0001839,
+            "mse_weight": 3.2, "n_atom_basis": "low",
+            "n_filters": "low", "n_convolutions": 2,
+            "nbins": 109, "opt_freq": 52, "sigma": 2.61227614490785,
+        }
+    sys_params = {
+        "dt": 0.5, "n_epochs": args.nepochs, "n_sim": args.nsim,
+        "data": args.data, "val": args.val, "size": 4,
+        "anneal_flag": "False", "pair_flag": args.pair,
+        "tpair_flag": args.tpair, "topology_update_freq": 1,
+    }
+    if args.dry_run:
+        assignments["opt_freq"] = 25
+        sys_params.update(n_epochs=2, n_sim=1, size=2, frame_skip=5,
+                          test_nbins=100, pretrain_iters=50)
+
+    from mdgrad_tpu.train.fit_rdf import fit_rdf
+    for i in range(args.nruns):
+        out = fit_rdf(assignments, sys_params,
+                      model_path=os.path.join(args.logdir, str(i)))
+        print("objective:", out["objective"])
+
+
+if __name__ == "__main__":
+    main()
