@@ -1,0 +1,91 @@
+"""Pallas fused pair energy/force kernel: correctness vs the XLA dense
+path (interpret mode on CPU; the same code compiles on TPU -- see
+BENCH.md for device benchmarks)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdgrad_tpu import units, potentials
+from mdgrad_tpu.system import System
+from mdgrad_tpu.interface import PairPotentials
+from mdgrad_tpu.ops.pallas_pair import lj_energy_forces, PallasLJPair
+
+
+@pytest.fixture(scope="module")
+def perturbed_fcc():
+    sys_ = System.from_lattice("fcc", 3, 1.679)
+    rng = np.random.default_rng(1)
+    xyz = jnp.asarray(sys_.get_positions()
+                      + rng.normal(0, 0.05, (108, 3)))
+    return sys_, xyz
+
+
+@pytest.mark.parametrize("rep,attr", [(12, 6), (9, 6), (12, 0)])
+def test_kernel_matches_dense(perturbed_fcc, rep, attr):
+    sys_, xyz = perturbed_fcc
+    cell_len = np.diag(sys_.get_cell())
+    e, f = lj_energy_forces(xyz, cell_len, 2.4, 0.95, 1.1, rep_pow=rep,
+                            attr_pow=attr, interpret=True)
+    model = potentials.LJFamily(sigma=0.95, epsilon=1.1, rep_pow=rep,
+                                attr_pow=attr)
+    dense = PairPotentials(sys_, model, cutoff=2.4, mode="dense")
+    p = dense.init_params()
+    e_ref = float(dense.energy(p, xyz, ()))
+    f_ref = -jax.grad(dense.energy, argnums=1)(p, xyz, ())
+    np.testing.assert_allclose(float(e), e_ref, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_kernel_padding_independence(perturbed_fcc):
+    """Adding ghost atoms beyond n must not change results (exercises the
+    n_real masking)."""
+    sys_, xyz = perturbed_fcc
+    cell_len = np.diag(sys_.get_cell())
+    e1, f1 = lj_energy_forces(xyz, cell_len, 2.4, 1.0, 1.0,
+                              interpret=True)
+    e2, f2 = lj_energy_forces(xyz[:100], cell_len, 2.4, 1.0, 1.0,
+                              interpret=True)
+    assert f1.shape == (108, 3) and f2.shape == (100, 3)
+    # recompute reference for the 100-atom subset
+    sub = System(np.asarray(xyz)[:100], sys_.get_cell())
+    dense = PairPotentials(sub, potentials.LennardJones(1.0, 1.0),
+                           cutoff=2.4, mode="dense")
+    p = dense.init_params()
+    np.testing.assert_allclose(float(e2),
+                               float(dense.energy(p, xyz[:100], ())),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_interaction_runs_md(perturbed_fcc, monkeypatch):
+    """PallasLJPair drives NVE through the Simulation machinery
+    (interpret mode on CPU)."""
+    import mdgrad_tpu.ops.pallas_pair as pp
+    orig = pp.lj_energy_forces
+    monkeypatch.setattr(
+        pp, "lj_energy_forces",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    sys_, _ = perturbed_fcc
+    from mdgrad_tpu.md import NVE, Simulation
+    sys_.set_temperature(1.0 / units.kB, rng=np.random.default_rng(3))
+    pair = pp.PallasLJPair(sys_, cutoff=2.4, sigma=1.0, epsilon=1.0)
+
+    class PallasNVE(NVE):
+        def force(self, params, q, aux):
+            return self.model.force(params, q, aux)
+
+    integ = PallasNVE(pair, sys_, adjoint=False)
+    sim = Simulation(sys_, integ)
+    traj = sim.simulate(steps=20, dt=0.002, frequency=20)
+    assert np.isfinite(np.asarray(traj.q)).all()
+    # energy conservation with in-kernel forces
+    m = jnp.asarray(sys_.get_masses())[:, None]
+    p = pair.init_params()
+    e0 = float(0.5 * (m * traj.v[0] ** 2).sum()
+               + pair.energy(p, traj.q[0], ()))
+    e1 = float(0.5 * (m * traj.v[-1] ** 2).sum()
+               + pair.energy(p, traj.q[-1], ()))
+    assert abs(e1 - e0) / abs(e0) < 1e-2, (e0, e1)
