@@ -1,0 +1,103 @@
+"""Differentiable observables: RDF normalization/physics, VACF, angle
+distribution, dihedrals."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdgrad_tpu import units, potentials
+from mdgrad_tpu.system import System
+from mdgrad_tpu.observables import (rdf, vacf, angle_distribution,
+                                    compute_angle, compute_dihe,
+                                    generate_vol_bins)
+
+
+def test_vol_bins_3d_and_2d():
+    V3, vb3, bins3 = generate_vol_bins(0.5, 2.5, 20, dim=3)
+    assert abs(float(vb3.sum()) - (4 / 3) * np.pi * (2.5 ** 3 - 0.5 ** 3)) \
+        < 1e-3
+    V2, vb2, _ = generate_vol_bins(0.5, 2.5, 20, dim=2)
+    assert abs(float(vb2.sum()) - np.pi * (2.5 ** 2 - 0.5 ** 2)) < 1e-4
+
+
+def test_ideal_gas_rdf_is_flat():
+    """g(r) of an ideal gas ~ 1 (reference test strategy, SURVEY.md s4)."""
+    rng = np.random.default_rng(0)
+    L = 12.0
+    sys_ = System(rng.uniform(0, L, (512, 3)), np.diag([L] * 3))
+    obs = rdf(sys_, nbins=32, r_range=(1.0, 4.0))
+    frames = jnp.asarray(rng.uniform(0, L, (8, 512, 3)))
+    count, bins, g = obs(frames)
+    assert abs(float(count.sum()) - 1.0) < 1e-5  # normalized counts
+    g = np.asarray(g)
+    assert abs(g.mean() - 1.0) < 0.15
+    assert g.std() < 0.2
+
+
+def test_rdf_gradients_wrt_positions():
+    rng = np.random.default_rng(0)
+    L = 6.0
+    sys_ = System(rng.uniform(0, L, (32, 3)), np.diag([L] * 3))
+    obs = rdf(sys_, nbins=16, r_range=(0.8, 2.5))
+    xyz = jnp.asarray(sys_.get_positions())
+    g = jax.grad(lambda x: (obs(x)[2] ** 2).sum())(xyz)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_vacf_of_constant_velocity():
+    """Constant velocities: VACF is flat at <v^2>."""
+    sys_ = System(np.zeros((4, 3)), np.diag([10.0] * 3))
+    obs = vacf(sys_, t_range=5)
+    v = jnp.ones((10, 4, 3)) * 0.5
+    out = np.asarray(obs(v))
+    np.testing.assert_allclose(out, 0.25, rtol=1e-6)
+    assert out.shape == (5,)
+
+
+def test_vacf_decorrelates_random_velocities():
+    sys_ = System(np.zeros((64, 3)), np.diag([10.0] * 3))
+    obs = vacf(sys_, t_range=4)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((200, 64, 3)))
+    out = np.asarray(obs(v))
+    assert out[0] > 0.9               # <v.v> ~ 1
+    assert np.abs(out[1:]).max() < 0.05  # uncorrelated lags
+
+
+def test_angle_distribution_tetrahedral():
+    """A perfect tetrahedron around a center atom: all angles at 109.47
+    degrees."""
+    # methane-like geometry
+    c = np.array([[0.0, 0, 0]])
+    t = 1.0 / np.sqrt(3)
+    verts = np.array([[t, t, t], [t, -t, -t], [-t, t, -t], [-t, -t, t]])
+    xyz = np.concatenate([c, verts]) + 5.0
+    sys_ = System(xyz, np.diag([10.0] * 3))
+    obs = angle_distribution(sys_, nbins=64, angle_range=(0.5, np.pi),
+                             cutoff=1.5, k_max=4)
+    bins, count, (angles, mask) = obs(jnp.asarray(xyz))
+    got = np.asarray(angles)[np.asarray(mask)]
+    # center atom contributes C(4,2)=6 tetrahedral angles of 109.47 deg
+    tet = np.full(6, np.arccos(-1 / 3))
+    assert (np.abs(np.sort(got)[-6:] - tet) < 1e-2).all()
+    # soft histogram peaks at the tetrahedral angle
+    peak = float(bins[np.argmax(np.asarray(count))])
+    assert abs(peak - np.arccos(-1 / 3)) < 0.15
+
+
+def test_compute_angle_linear():
+    xyz = jnp.asarray([[[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]]])
+    # (frame, j, i, k): apex i=1
+    angle_list = jnp.asarray([[0, 0, 1, 2]])
+    cos = compute_angle(xyz, angle_list, np.diag([20.0] * 3), N=3)
+    np.testing.assert_allclose(float(cos[0]), -1.0, atol=1e-6)
+
+
+def test_compute_dihe_planar():
+    # cis (0 deg) dihedral: all in a plane, same side
+    xyz = jnp.asarray([[[0.0, 1, 0], [0, 0, 0], [1, 0, 0], [1, 1, 0]]])
+    dihes = jnp.asarray([[0, 1, 2, 3]])
+    cos_phi = compute_dihe(xyz, dihes)
+    assert abs(abs(float(cos_phi[0, 0])) - 1.0) < 1e-5
