@@ -155,7 +155,7 @@ class GNNPotentials(Interaction):
     metadata; edges are a fixed-capacity padded list."""
 
     def __init__(self, system, gnn, cutoff, ex_pairs=None, capacity=None,
-                 capacity_slack=1.6):
+                 capacity_slack=1.6, nbr_mode="topk", k_max=None):
         check_system(system)
         self.gnn = gnn
         self.cutoff = cutoff
@@ -163,14 +163,33 @@ class GNNPotentials(Interaction):
         self.z = jnp.asarray(system.get_atomic_numbers(), dtype=jnp.int32)
         n = system.get_number_of_atoms()
         self.select_mask = topology.pair_index_mask(n, None, ex_pairs)
+        self.nbr_mode = nbr_mode
         xyz0 = jnp.asarray(system.get_positions())
-        self.capacity = capacity or topology.estimate_capacity(
-            xyz0, cutoff, self.cell, self.select_mask, slack=capacity_slack)
+        if nbr_mode == "topk":
+            # per-atom capacity: max in-cutoff neighbor count x slack
+            # (top_k list construction; see topology.generate_nbr_list_topk)
+            if k_max is None:
+                d, _ = topology.displacement_matrix(xyz0, self.cell)
+                dist_sq = (d ** 2).sum(-1) + jnp.eye(n) * 1e9
+                within = dist_sq < cutoff ** 2
+                if self.select_mask is not None:
+                    within = within & self.select_mask
+                k0 = int(jnp.max(within.sum(-1)))
+                k_max = int(np.ceil(max(k0, 1) * capacity_slack / 8) * 8)
+            self.k_max = min(k_max, n)
+        else:
+            self.capacity = capacity or topology.estimate_capacity(
+                xyz0, cutoff, self.cell, self.select_mask,
+                slack=capacity_slack)
 
     def init_params(self):
         return self.gnn.init_params(self.z)
 
     def aux_init(self, xyz):
+        if self.nbr_mode == "topk":
+            return topology.generate_nbr_list_topk(
+                xyz, self.cutoff, self.cell, self.k_max, self.select_mask,
+                directed=True)
         return topology.generate_nbr_list(
             xyz, self.cutoff, self.cell, self.capacity, self.select_mask)
 
@@ -179,9 +198,11 @@ class GNNPotentials(Interaction):
 
     def energy(self, params, xyz, aux):
         nbrs = aux
-        offsets_real = jnp.matmul(nbrs.offsets, self.cell, precision=jax.lax.Precision.HIGHEST)
+        offsets_real = jnp.matmul(nbrs.offsets, self.cell,
+                                  precision=jax.lax.Precision.HIGHEST)
         return self.gnn.energy(params, self.z, xyz, nbrs.idx, offsets_real,
-                               nbrs.mask)
+                               nbrs.mask,
+                               directed=(self.nbr_mode == "topk"))
 
 
 class Electrostatics(Interaction):

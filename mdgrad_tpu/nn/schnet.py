@@ -39,7 +39,15 @@ from .layers import shifted_softplus, gaussian_smearing
 
 
 class SchNetConv(fnn.Module):
-    """One continuous-filter convolution (reference modules.py:514-575)."""
+    """One continuous-filter convolution (reference modules.py:514-575).
+
+    ``directed=False``: ``idx`` holds undirected (i < j) pairs and messages
+    are scattered both ways (identical to the reference's double
+    scatter_add, graphconv.py:48-51).  ``directed=True``: ``idx`` holds
+    (receiver, sender) rows from a per-atom top_k table -- each edge
+    appears once per direction already, so only one scatter runs; the two
+    modes compute the same aggregation.
+    """
     n_atom_basis: int
     n_filters: int
     n_gaussians: int
@@ -47,7 +55,8 @@ class SchNetConv(fnn.Module):
     trainable_gauss: bool = False
 
     @fnn.compact
-    def __call__(self, r, e, idx, mask, n_atoms, aggr_wgt=None):
+    def __call__(self, r, e, idx, mask, n_atoms, aggr_wgt=None,
+                 directed=False):
         # edge filter: smearing -> Dense -> ssp -> Dense
         # (reference modules.py:530-541)
         init_off = np.linspace(0.0, self.cutoff, self.n_gaussians)
@@ -75,14 +84,21 @@ class SchNetConv(fnn.Module):
         if aggr_wgt is not None:
             rf = rf * aggr_wgt[:, None]
 
-        # messages both directions (reference modules.py:571,
-        # graphconv.py:48-51), padded edges zeroed
         m = mask[:, None].astype(ef.dtype)
-        m_ij = rf[idx[:, 0]] * ef * m   # flows to node j
-        m_ji = rf[idx[:, 1]] * ef * m   # flows to node i
-        agg = (jax.ops.segment_sum(m_ij, idx[:, 1], num_segments=n_atoms + 1)
-               + jax.ops.segment_sum(m_ji, idx[:, 0],
-                                     num_segments=n_atoms + 1))[:-1]
+        if directed:
+            # (receiver, sender) rows: one scatter covers both directions
+            msg = rf[idx[:, 1]] * ef * m
+            agg = jax.ops.segment_sum(
+                msg, idx[:, 0], num_segments=n_atoms + 1)[:-1]
+        else:
+            # messages both directions (reference modules.py:571,
+            # graphconv.py:48-51), padded edges zeroed
+            m_ij = rf[idx[:, 0]] * ef * m   # flows to node j
+            m_ji = rf[idx[:, 1]] * ef * m   # flows to node i
+            agg = (jax.ops.segment_sum(m_ij, idx[:, 1],
+                                       num_segments=n_atoms + 1)
+                   + jax.ops.segment_sum(m_ji, idx[:, 0],
+                                         num_segments=n_atoms + 1))[:-1]
 
         # update MLP (reference modules.py:543-547)
         out = shifted_softplus(fnn.Dense(self.n_atom_basis)(agg))
@@ -99,7 +115,8 @@ class _SchNetModule(fnn.Module):
     readout_keys: typing.Tuple[str, ...] = ("energy",)
 
     @fnn.compact
-    def __call__(self, z, xyz, idx, offsets_real, mask, aggr_wgt=None):
+    def __call__(self, z, xyz, idx, offsets_real, mask, aggr_wgt=None,
+                 directed=False):
         n_atoms = z.shape[0]
         # pad-safe gather: sentinel row for index N
         ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
@@ -111,7 +128,7 @@ class _SchNetModule(fnn.Module):
             dr = SchNetConv(self.n_atom_basis, self.n_filters,
                             self.n_gaussians, self.cutoff,
                             self.trainable_gauss)(r, e, idx, mask, n_atoms,
-                                                  aggr_wgt)
+                                                  aggr_wgt, directed)
             r = r + dr  # residual stack (reference schnet.py:149-151)
 
         out = {}
@@ -150,16 +167,16 @@ class SchNet:
             jnp.zeros((1, 3)), jnp.ones(1, dtype=bool))["params"]
 
     def atomwise(self, params, z, xyz, idx, offsets_real, mask,
-                 aggr_wgt=None):
+                 aggr_wgt=None, directed=False):
         """Per-atom readout dict (keys -> (N,))."""
         return self.module.apply({"params": params}, z, xyz, idx,
-                                 offsets_real, mask, aggr_wgt)
+                                 offsets_real, mask, aggr_wgt, directed)
 
     def energy(self, params, z, xyz, idx, offsets_real, mask,
-               aggr_wgt=None):
+               aggr_wgt=None, directed=False):
         """Total potential energy (scalar)."""
         return self.atomwise(params, z, xyz, idx, offsets_real, mask,
-                             aggr_wgt)["energy"].sum()
+                             aggr_wgt, directed)["energy"].sum()
 
     def energy_and_forces(self, params, z, xyz, idx, offsets_real, mask):
         """(U, F = -dU/dxyz); differentiable for grad-of-grad training."""

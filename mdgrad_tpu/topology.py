@@ -62,18 +62,36 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+def _is_diagonal(cell):
+    """Trace-time check: concrete cells with zero off-diagonals take the
+    cheap elementwise minimum-image path."""
+    try:
+        c = np.asarray(cell)
+    except Exception:
+        return False
+    return c.ndim == 2 and not np.any(c - np.diag(np.diag(c)))
+
+
 def min_image(disp, cell):
     """Apply the minimum-image convention to displacement vectors.
 
     General triclinic: project on the (not necessarily orthonormal) cell
     basis and shift fractional components outside [-0.5, 0.5] by +-1
-    (parity: reference topology.py:55-64).
+    (parity: reference topology.py:55-64).  Orthorhombic (diagonal) cells
+    -- every in-repo workload -- skip the two 3x3 projections: on TPU
+    those HIGHEST-precision matmuls over (..., N, N, 3) dominate the whole
+    distance-matrix cost.
 
     Returns (wrapped displacement, fractional offsets in {-1,0,1}).
     """
     cell = jnp.asarray(cell)
     if cell.ndim == 1:
         cell = jnp.diag(cell)
+    if _is_diagonal(cell):
+        L = jnp.diag(cell)
+        offsets = (-(disp > 0.5 * L).astype(disp.dtype)
+                   + (disp < -0.5 * L).astype(disp.dtype))
+        return disp + offsets * L, offsets
     reduced = _mm(disp, jnp.linalg.inv(cell))
     offsets = (-(reduced > 0.5).astype(disp.dtype)
                + (reduced < -0.5).astype(disp.dtype))
@@ -90,6 +108,29 @@ def displacement_matrix(xyz, cell):
     return min_image(disp, cell)
 
 
+def _disp_planes(xyz, cell):
+    """Coordinate-major displacement planes: (3, N, N) d and offsets.
+
+    TPU layout note: the naive (N, N, 3) tensor puts the xyz axis on the
+    128-wide lane dimension (3 lanes used, 125 wasted); coordinate-major
+    planes keep N on lanes and are several times faster.  Only the
+    diagonal-cell path benefits; triclinic falls back to the vector form.
+    """
+    cell = jnp.asarray(cell)
+    if cell.ndim == 1:
+        cell = jnp.diag(cell)
+    if _is_diagonal(cell):
+        L = jnp.diag(cell)
+        xt = jnp.moveaxis(xyz, -1, -2)               # (..., 3, N)
+        d = xt[..., None, :] - xt[..., :, None]      # d[c, i, j] = xj - xi
+        Lc = L[:, None, None]
+        offsets = (-(d > 0.5 * Lc).astype(d.dtype)
+                   + (d < -0.5 * Lc).astype(d.dtype))
+        return d + offsets * Lc, offsets
+    d, off = displacement_matrix(xyz, cell)
+    return jnp.moveaxis(d, -1, 0), jnp.moveaxis(off, -1, 0)
+
+
 def distance_matrix(xyz, cell):
     """Dense minimum-image distances with a safe diagonal.
 
@@ -97,8 +138,8 @@ def distance_matrix(xyz, cell):
     The diagonal distance is clamped to 1 so downstream r**-12 terms stay
     finite; callers must apply ``valid``.
     """
-    d, _ = displacement_matrix(xyz, cell)
-    dist_sq = (d ** 2).sum(-1)
+    d, _ = _disp_planes(xyz, cell)
+    dist_sq = (d ** 2).sum(0)
     n = xyz.shape[-2]
     eye = jnp.eye(n, dtype=bool)
     safe = jnp.where(eye, 1.0, dist_sq)
@@ -131,8 +172,8 @@ def pair_index_mask(n, index_tuple=None, ex_pairs=None):
 
 
 def _cutoff_mask(xyz, cell, cutoff, select_mask):
-    d, offsets = displacement_matrix(xyz, cell)
-    dist_sq = (d ** 2).sum(-1)
+    d, offsets = _disp_planes(xyz, cell)             # (3, N, N)
+    dist_sq = (d ** 2).sum(0)
     n = xyz.shape[-2]
     iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
     mask = iu & (dist_sq < cutoff ** 2)
@@ -159,10 +200,58 @@ def generate_nbr_list(xyz, cutoff, cell, capacity, select_mask=None):
     idx = jnp.stack([i, j], axis=-1).astype(jnp.int32)
     pair_mask = i < n
     off = jnp.where(pair_mask[:, None],
-                    offsets[jnp.minimum(i, n - 1), jnp.minimum(j, n - 1)],
+                    offsets[:, jnp.minimum(i, n - 1),
+                            jnp.minimum(j, n - 1)].T,
                     0.0)
     return NeighborList(idx=idx, offsets=off, mask=pair_mask, count=count,
                         overflow=count > capacity)
+
+
+def generate_nbr_list_topk(xyz, cutoff, cell, k_max, select_mask=None,
+                           directed=False):
+    """top_k-based padded :class:`NeighborList` -- the TPU fast path.
+
+    ``jnp.nonzero(size=...)`` lowers to an O(N^2 log N^2) sort on TPU and
+    dominates per-step cost (measured ~4x the SchNet forward at N=512).
+    This builder instead takes each atom's ``k_max`` nearest in-cutoff
+    neighbors with ``lax.top_k`` over the dense distance matrix and emits
+    a padded pair list of capacity N*k_max.  Exact whenever no atom has
+    more than ``k_max`` neighbors (overflow is flagged otherwise).
+
+    directed=False: emit the (i < j) half (drop-in for generate_nbr_list;
+    ~half the slots are padding).  directed=True: emit ALL
+    (receiver, sender) rows -- every real slot used -- for consumers that
+    aggregate one direction per edge (SchNet's directed mode).
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    d, offsets = _disp_planes(xyz, cell)
+    dist_sq = (d ** 2).sum(0)
+    n = xyz.shape[-2]
+    eye = jnp.eye(n, dtype=bool)
+    within = (dist_sq < cutoff ** 2) & ~eye
+    if select_mask is not None:
+        within = within & select_mask
+    score = jnp.where(within, dist_sq, jnp.inf)
+    neg_top, cols = jax.lax.top_k(-score, k_max)          # (N, K)
+    valid = neg_top > -jnp.inf
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k_max))
+    if directed:
+        keep = valid
+    else:
+        # undirected (i < j) representation, like generate_nbr_list
+        keep = valid & (rows < cols)
+    i = jnp.where(keep, rows, n).reshape(-1)
+    j = jnp.where(keep, cols, n).reshape(-1)
+    idx = jnp.stack([i, j], axis=-1).astype(jnp.int32)
+    off = jnp.where(keep.reshape(-1)[:, None],
+                    offsets[:, jnp.minimum(rows, n - 1),
+                            jnp.minimum(cols, n - 1)].reshape(3, -1).T,
+                    0.0)
+    count = keep.sum(dtype=jnp.int32)
+    # overflow: some atom has more in-cutoff neighbors than k_max
+    overflow = (within.sum(-1) > k_max).any()
+    return NeighborList(idx=idx, offsets=off, mask=i < n, count=count,
+                        overflow=overflow)
 
 
 def count_pairs(xyz, cutoff, cell, select_mask=None):

@@ -125,3 +125,40 @@ def test_nontrainable_prior_returns_constant_params(auto_setup):
     xyz0, _ = straight_chain(n, 1.5)
     u0 = float(model.energy(params, z, jnp.asarray(xyz0), tops, masks))
     np.testing.assert_allclose(u - u0, expected_bond, rtol=1e-4)
+
+
+def test_schnet_autopology_staged(auto_setup):
+    """Combined model: autopology-only -> transfer to schnet; multi-state
+    sorting keeps energies ordered (reference schnet.py:303-479)."""
+    from mdgrad_tpu.nn.schnet_autopology import SchNetAuTopology
+    from mdgrad_tpu import topology
+    _, _, z, xyz, tops, masks = auto_setup
+    n = int(z.shape[0])
+    model = SchNetAuTopology({
+        "schnet_params": {"n_atom_basis": 16, "n_filters": 16,
+                          "n_gaussians": 8, "n_convolutions": 1,
+                          "cutoff": 3.0},
+        "autopology_params": {"Fr": 16, "Lh": [16],
+                              "bond_terms": ["harmonic"],
+                              "n_convolutions": 1,
+                              "trainable_prior": True},
+        "sorted_result_keys": ["energy_0", "energy_1"],
+        "sort_results": True})
+    params = model.init_params(z, tops, masks)
+    cell = np.diag([100.0] * 3)
+    nbrs = topology.generate_nbr_list(xyz, 3.0, cell, 256)
+    off = nbrs.offsets @ jnp.asarray(cell)
+
+    assert model.trainable_labels()["autopology"] == "train"
+    e1 = model.energies(params, z, xyz, nbrs.idx, off, nbrs.mask, tops,
+                        masks)
+    assert e1.shape == (2,)
+    assert float(e1[0]) <= float(e1[1])  # sorted
+
+    labels = model.transfer_to_schnet()
+    assert labels == {"schnet": "train", "autopology": "frozen"}
+    e2, f2 = model.energies_and_forces(params, z, xyz, nbrs.idx, off,
+                                       nbrs.mask, tops, masks)
+    assert not np.allclose(np.asarray(e1), np.asarray(e2))  # schnet added
+    assert f2.shape == (2, n, 3)
+    assert np.isfinite(np.asarray(f2)).all()
