@@ -49,7 +49,8 @@ class rdf:
     returns (count, bins, g_r), all differentiable in xyz.
     """
 
-    def __init__(self, system, nbins, r_range, index_tuple=None, width=None):
+    def __init__(self, system, nbins, r_range, index_tuple=None, width=None,
+                 backend="xla"):
         check_system(system)
         start, end = r_range
         self.V, self.vol_bins, self.bins = generate_vol_bins(
@@ -62,6 +63,19 @@ class rdf:
         self.select_mask = topology.pair_index_mask(
             system.get_number_of_atoms(), index_tuple, None)
         self.r_axis = np.linspace(start, end, nbins)
+        self.backend = backend
+        if backend == "pallas":
+            # streaming soft-histogram kernel: O(tile) memory instead of
+            # the (N, N, G) XLA intermediate (see ops/pallas_rdf.py);
+            # diagonal cells, no index_tuple selection
+            if index_tuple is not None:
+                raise ValueError("pallas rdf backend does not support "
+                                 "index_tuple")
+            from .ops.pallas_rdf import make_pallas_rdf
+            self._pallas_counts = make_pallas_rdf(
+                np.diag(np.asarray(system.get_cell())),
+                np.asarray(self.smear.offsets),
+                np.asarray(self.smear.widths), self.cutoff_boundary)
 
     def _frame_counts(self, xyz):
         dist, valid = topology.distance_matrix(xyz, self.cell)
@@ -76,8 +90,14 @@ class rdf:
 
     def __call__(self, xyz):
         xyz = jnp.asarray(xyz)
+        frame_fn = (self._pallas_counts if self.backend == "pallas"
+                    else self._frame_counts)
         if xyz.ndim == 2:
-            count = self._frame_counts(xyz)
+            count = frame_fn(xyz)
+        elif self.backend == "pallas":
+            # unrolled frame loop: frame counts are static and small;
+            # vmap over pallas custom_vjp is avoided
+            count = sum(frame_fn(xyz[i]) for i in range(xyz.shape[0]))
         else:
             count = jax.vmap(self._frame_counts)(xyz).sum(0)
         count = count / count.sum()

@@ -89,3 +89,41 @@ def test_pallas_interaction_runs_md(perturbed_fcc, monkeypatch):
     e1 = float(0.5 * (m * traj.v[-1] ** 2).sum()
                + pair.energy(p, traj.q[-1], ()))
     assert abs(e1 - e0) / abs(e0) < 1e-2, (e0, e1)
+
+
+def test_pallas_rdf_counts_and_grads_match_xla(perturbed_fcc):
+    """Streaming soft-histogram kernel (fwd + custom-vjp bwd) matches the
+    XLA dense RDF path (interpret mode)."""
+    from mdgrad_tpu.ops.pallas_rdf import make_pallas_rdf
+    from mdgrad_tpu.observables import rdf as rdf_obs
+    sys_, xyz = perturbed_fcc
+    obs = rdf_obs(sys_, nbins=48, r_range=(0.75, 2.0))
+    counts_fn = make_pallas_rdf(
+        np.asarray(np.diag(sys_.get_cell())),
+        np.asarray(obs.smear.offsets), np.asarray(obs.smear.widths),
+        obs.cutoff_boundary, interpret=True)
+    raw_ref = obs._frame_counts(xyz)
+    raw_pal = counts_fn(xyz)
+    np.testing.assert_allclose(np.asarray(raw_pal), np.asarray(raw_ref),
+                               rtol=1e-5, atol=1e-3)
+    g_ref = jax.grad(lambda x: (obs._frame_counts(x) ** 2).sum())(xyz)
+    g_pal = jax.grad(lambda x: (counts_fn(x) ** 2).sum())(xyz)
+    # gradient magnitudes reach ~1e5; tolerance scales with them
+    scale = float(np.abs(np.asarray(g_ref)).max())
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-5 * scale)
+
+
+def test_rdf_pallas_backend_api(perturbed_fcc, monkeypatch):
+    """rdf(..., backend='pallas') gives the same normalized g(r)."""
+    import mdgrad_tpu.ops.pallas_rdf as pr
+    orig = pr.make_pallas_rdf
+    monkeypatch.setattr(
+        pr, "make_pallas_rdf",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    from mdgrad_tpu.observables import rdf as rdf_obs
+    sys_, xyz = perturbed_fcc
+    g1 = rdf_obs(sys_, 48, (0.75, 2.0))(xyz)[2]
+    g2 = rdf_obs(sys_, 48, (0.75, 2.0), backend="pallas")(xyz)[2]
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-4, atol=1e-4)
