@@ -76,7 +76,7 @@ def _finalize_ct(primal, acc):
 
 
 def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
-                adjoint=True):
+                adjoint=True, reverse_step_fn=None):
     """Build ``odeint(params, state0, aux0, ctrl) -> (traj, final_aux)``.
 
     step_fn:       (params, state, aux, ctrl, i) -> state   (one dt step)
@@ -86,12 +86,26 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
                    points mean frequency-1 steps (md.py:80-81).
     update_freq:   refresh aux every k-th step (reference
                    topology_update_freq, md.py:125-129).
-    adjoint:       True -> custom-vjp trajectory replay (activation-free);
+    adjoint:       True -> custom-vjp trajectory replay (activation-free;
+                   stores one state+aux per step);
                    False -> plain scan autodiff (stores step activations,
                    the reference's adjoint=False direct-backprop mode).
+    reverse_step_fn: optional (params, state, aux, ctrl, i) -> state that
+                   *undoes* step i (e.g. the same symplectic stepper with
+                   -dt).  When given (and adjoint=True), backward
+                   reconstructs states by reverse-time integration instead
+                   of reading stored frames -- true O(1) memory in
+                   n_steps, the reference's OdeintAdjointMethod strategy
+                   (sovlers.py:253-286).  Exact for time-reversible
+                   steppers up to float roundoff accumulation; the stored-
+                   frame replay (default) is bitwise-stable and preferred
+                   unless memory demands otherwise.
 
     Gradients flow to params, state0 and ctrl; not through aux.
     """
+    if reverse_step_fn is not None and adjoint:
+        return _make_odeint_reverse(step_fn, reverse_step_fn,
+                                    aux_update_fn, n_steps, update_freq)
 
     def _refresh(i, state, aux):
         if update_freq == 1:
@@ -157,6 +171,83 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
         (adj, dparams, dctrl), _ = jax.lax.scan(
             body, (ct_last, zero_params, zero_ctrl),
             (rev(states_in), rev(auxs), rev(ct_rest), idx))
+        return (_finalize_ct(params, dparams), adj,
+                _zero_cotangent(aux0), _finalize_ct(ctrl, dctrl))
+
+    odeint.defvjp(odeint_fwd, odeint_bwd)
+    return odeint
+
+
+def _make_odeint_reverse(step_fn, reverse_step_fn, aux_update_fn, n_steps,
+                         update_freq):
+    """True O(1)-memory adjoint: reverse-time state reconstruction.
+
+    Forward stores NOTHING but the endpoints (returned traj = [state0,
+    final]); backward re-integrates the trajectory backwards with
+    ``reverse_step_fn`` (the symplectic stepper at -dt, exploiting time
+    reversibility) and vjp's each forward step at the reconstructed state
+    -- exactly the reference's OdeintAdjointMethod strategy
+    (sovlers.py:253-286), including its caveats: reconstruction drifts at
+    float-roundoff rate, and the topology used for the reverse step is
+    refreshed from the *current* reconstructed state.  Use for very long
+    epochs with losses on the final state; the stored-frame replay is
+    exact and preferred otherwise.
+
+    Requires update_freq == 1 (topology refresh is re-derived per
+    reconstructed state).
+    """
+    if update_freq != 1:
+        raise ValueError("reverse-time adjoint requires "
+                         "topology_update_freq == 1")
+
+    def _forward(params, state0, aux0, ctrl):
+        def body(carry, i):
+            state, aux = carry
+            aux = aux_update_fn(state, aux)
+            return (step_fn(params, state, aux, ctrl, i), aux), None
+
+        (final, aux), _ = jax.lax.scan(body, (state0, aux0),
+                                       jnp.arange(n_steps))
+        traj = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), state0, final)
+        return traj, aux
+
+    @jax.custom_vjp
+    def odeint(params, state0, aux0, ctrl):
+        return _forward(params, state0, aux0, ctrl)
+
+    def odeint_fwd(params, state0, aux0, ctrl):
+        traj, final_aux = _forward(params, state0, aux0, ctrl)
+        final = jax.tree_util.tree_map(lambda x: x[1], traj)
+        return (traj, final_aux), (params, final, aux0, ctrl)
+
+    def odeint_bwd(res, cts):
+        params, final, aux0, ctrl = res
+        ct_traj, _ = cts
+        adj = jax.tree_util.tree_map(lambda x: x[1], ct_traj)
+        ct_first = jax.tree_util.tree_map(lambda x: x[0], ct_traj)
+        zero_params = _zero_accumulator(params)
+        zero_ctrl = _zero_accumulator(ctrl)
+
+        def body(carry, i):
+            cur, aux, adj, dparams, dctrl = carry
+            # reconstruct s_i by undoing step i (aux from the current
+            # state, like the reference's backward re-integration)
+            aux = aux_update_fn(cur, aux)
+            s_i = reverse_step_fn(params, cur, aux, ctrl, i)
+            aux_i = aux_update_fn(s_i, aux)
+            _, vjp = jax.vjp(
+                lambda p, s, c: step_fn(p, s, aux_i, c, i),
+                params, s_i, ctrl)
+            dp, ds, dc = vjp(adj)
+            dparams = jax.tree_util.tree_map(_ct_add, dparams, dp)
+            dctrl = jax.tree_util.tree_map(_ct_add, dctrl, dc)
+            return (s_i, aux_i, ds, dparams, dctrl), None
+
+        (s0, _, adj, dparams, dctrl), _ = jax.lax.scan(
+            body, (final, aux0, adj, zero_params, zero_ctrl),
+            jnp.arange(n_steps - 1, -1, -1))
+        adj = jax.tree_util.tree_map(jnp.add, adj, ct_first)
         return (_finalize_ct(params, dparams), adj,
                 _zero_cotangent(aux0), _finalize_ct(ctrl, dctrl))
 

@@ -61,10 +61,19 @@ class Simulation:
             def aux_update(state, aux):
                 return integ.aux_update(state.q, aux)
 
+            reverse_step = None
+            if integ.adjoint == "reverse":
+                # time-reversed stepper: true O(1)-memory adjoint
+                # (see adjoint._make_odeint_reverse)
+                def reverse_step(params, state, aux, ctrl, i):
+                    return integ.step(params, state, aux, ctrl, i * dt,
+                                      -dt, method=self.method)
+
             ode = make_odeint_cached(step_fn, aux_update,
                                      n_steps=max(int(frequency) - 1, 1),
                                      update_freq=integ.topology_update_freq,
-                                     adjoint=integ.adjoint)
+                                     adjoint=bool(integ.adjoint),
+                                     reverse_step_fn=reverse_step)
             self._ode_cache[key] = jax.jit(ode)
         return self._ode_cache[key]
 
@@ -124,7 +133,9 @@ class Simulation:
 Simulations = Simulation
 
 
-def make_odeint_cached(step_fn, aux_update, n_steps, update_freq, adjoint):
+def make_odeint_cached(step_fn, aux_update, n_steps, update_freq, adjoint,
+                       reverse_step_fn=None):
     from .adjoint import make_odeint
     return make_odeint(step_fn, aux_update, n_steps,
-                       update_freq=update_freq, adjoint=adjoint)
+                       update_freq=update_freq, adjoint=adjoint,
+                       reverse_step_fn=reverse_step_fn)
