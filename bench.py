@@ -46,7 +46,7 @@ def build():
     stack = Stack({
         "nn": GNNPotentials(system, gnn, cutoff=6.0),
         "prior": PairPotentials(system, potentials.ExcludedVolume(
-            sigma=2.6, epsilon=0.01, power=12), cutoff=6.0, mode="sparse"),
+            sigma=2.6, epsilon=0.01, power=12), cutoff=6.0, mode="dense"),
     })
     integ = NoseHooverChain(stack, system, T=298.0, Q=50.0, num_chains=5,
                             adjoint=True)

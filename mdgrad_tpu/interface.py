@@ -155,7 +155,7 @@ class GNNPotentials(Interaction):
     metadata; edges are a fixed-capacity padded list."""
 
     def __init__(self, system, gnn, cutoff, ex_pairs=None, capacity=None,
-                 capacity_slack=1.6, nbr_mode="topk", k_max=None):
+                 capacity_slack=1.6, nbr_mode="table", k_max=None):
         check_system(system)
         self.gnn = gnn
         self.cutoff = cutoff
@@ -165,7 +165,7 @@ class GNNPotentials(Interaction):
         self.select_mask = topology.pair_index_mask(n, None, ex_pairs)
         self.nbr_mode = nbr_mode
         xyz0 = jnp.asarray(system.get_positions())
-        if nbr_mode == "topk":
+        if nbr_mode in ("topk", "table"):
             # per-atom capacity: max in-cutoff neighbor count x slack
             # (top_k list construction; see topology.generate_nbr_list_topk)
             if k_max is None:
@@ -186,6 +186,9 @@ class GNNPotentials(Interaction):
         return self.gnn.init_params(self.z)
 
     def aux_init(self, xyz):
+        if self.nbr_mode == "table":
+            return topology.generate_neighbor_table(
+                xyz, self.cutoff, self.cell, self.k_max, self.select_mask)
         if self.nbr_mode == "topk":
             return topology.generate_nbr_list_topk(
                 xyz, self.cutoff, self.cell, self.k_max, self.select_mask,
@@ -200,6 +203,10 @@ class GNNPotentials(Interaction):
         nbrs = aux
         offsets_real = jnp.matmul(nbrs.offsets, self.cell,
                                   precision=jax.lax.Precision.HIGHEST)
+        if self.nbr_mode == "table":
+            return self.gnn.energy(params, self.z, xyz, nbrs.table,
+                                   offsets_real, nbrs.mask,
+                                   edge_format="table")
         return self.gnn.energy(params, self.z, xyz, nbrs.idx, offsets_real,
                                nbrs.mask,
                                directed=(self.nbr_mode == "topk"))

@@ -44,6 +44,10 @@ class AggrGNNInteraction:
         nbrs = aux
         off = jnp.matmul(nbrs.offsets, self._inner.cell,
                          precision=jax.lax.Precision.HIGHEST)
+        if self._inner.nbr_mode == "table":
+            return self.gnn.energy(params, self._inner.z, xyz, nbrs.table,
+                                   off, nbrs.mask, aggr_wgt,
+                                   edge_format="table")
         return self.gnn.energy(params, self._inner.z, xyz, nbrs.idx, off,
                                nbrs.mask, aggr_wgt)
 

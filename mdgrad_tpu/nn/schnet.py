@@ -56,7 +56,7 @@ class SchNetConv(fnn.Module):
 
     @fnn.compact
     def __call__(self, r, e, idx, mask, n_atoms, aggr_wgt=None,
-                 directed=False):
+                 directed=False, edge_format="pairs"):
         # edge filter: smearing -> Dense -> ssp -> Dense
         # (reference modules.py:530-541)
         init_off = np.linspace(0.0, self.cutoff, self.n_gaussians)
@@ -84,15 +84,23 @@ class SchNetConv(fnn.Module):
         if aggr_wgt is not None:
             rf = rf * aggr_wgt[:, None]
 
-        m = mask[:, None].astype(ef.dtype)
-        if directed:
+        if edge_format == "table":
+            # (N, K) neighbor-table aggregation: gather senders + reduce
+            # over K -- NO scatter (TPU-friendly; see
+            # topology.generate_neighbor_table).  e/ef are (N, K, ...).
+            m = mask[..., None].astype(ef.dtype)
+            ext_rf = jnp.concatenate([rf, jnp.zeros_like(rf[:1])], axis=0)
+            agg = (ext_rf[idx] * ef * m).sum(1)
+        elif directed:
             # (receiver, sender) rows: one scatter covers both directions
+            m = mask[:, None].astype(ef.dtype)
             msg = rf[idx[:, 1]] * ef * m
             agg = jax.ops.segment_sum(
                 msg, idx[:, 0], num_segments=n_atoms + 1)[:-1]
         else:
             # messages both directions (reference modules.py:571,
             # graphconv.py:48-51), padded edges zeroed
+            m = mask[:, None].astype(ef.dtype)
             m_ij = rf[idx[:, 0]] * ef * m   # flows to node j
             m_ji = rf[idx[:, 1]] * ef * m   # flows to node i
             agg = (jax.ops.segment_sum(m_ij, idx[:, 1],
@@ -116,19 +124,25 @@ class _SchNetModule(fnn.Module):
 
     @fnn.compact
     def __call__(self, z, xyz, idx, offsets_real, mask, aggr_wgt=None,
-                 directed=False):
+                 directed=False, edge_format="pairs"):
         n_atoms = z.shape[0]
         # pad-safe gather: sentinel row for index N
         ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
-        d = ext[idx[:, 0]] - ext[idx[:, 1]] - offsets_real
-        e = jnp.sqrt((d ** 2).sum(-1) + 1e-20)[:, None]
+        if edge_format == "table":
+            # idx: (N, K) neighbor table; offsets_real: (N, K, 3)
+            d = xyz[:, None, :] - ext[idx] - offsets_real
+            e = jnp.sqrt((d ** 2).sum(-1) + 1e-20)[..., None]
+        else:
+            d = ext[idx[:, 0]] - ext[idx[:, 1]] - offsets_real
+            e = jnp.sqrt((d ** 2).sum(-1) + 1e-20)[:, None]
 
         r = fnn.Embed(100, self.n_atom_basis)(z)
         for _ in range(self.n_convolutions):
             dr = SchNetConv(self.n_atom_basis, self.n_filters,
                             self.n_gaussians, self.cutoff,
                             self.trainable_gauss)(r, e, idx, mask, n_atoms,
-                                                  aggr_wgt, directed)
+                                                  aggr_wgt, directed,
+                                                  edge_format)
             r = r + dr  # residual stack (reference schnet.py:149-151)
 
         out = {}
@@ -167,16 +181,18 @@ class SchNet:
             jnp.zeros((1, 3)), jnp.ones(1, dtype=bool))["params"]
 
     def atomwise(self, params, z, xyz, idx, offsets_real, mask,
-                 aggr_wgt=None, directed=False):
+                 aggr_wgt=None, directed=False, edge_format="pairs"):
         """Per-atom readout dict (keys -> (N,))."""
         return self.module.apply({"params": params}, z, xyz, idx,
-                                 offsets_real, mask, aggr_wgt, directed)
+                                 offsets_real, mask, aggr_wgt, directed,
+                                 edge_format)
 
     def energy(self, params, z, xyz, idx, offsets_real, mask,
-               aggr_wgt=None, directed=False):
+               aggr_wgt=None, directed=False, edge_format="pairs"):
         """Total potential energy (scalar)."""
         return self.atomwise(params, z, xyz, idx, offsets_real, mask,
-                             aggr_wgt, directed)["energy"].sum()
+                             aggr_wgt, directed,
+                             edge_format)["energy"].sum()
 
     def energy_and_forces(self, params, z, xyz, idx, offsets_real, mask):
         """(U, F = -dU/dxyz); differentiable for grad-of-grad training."""

@@ -254,6 +254,47 @@ def generate_nbr_list_topk(xyz, cutoff, cell, k_max, select_mask=None,
                         overflow=overflow)
 
 
+class NeighborTable(typing.NamedTuple):
+    """Per-atom fixed-width neighbor table (a JAX pytree).
+
+    table:    (N, K) int32 neighbor indices, padded with N
+    offsets:  (N, K, 3) fractional minimum-image offsets of each edge
+    mask:     (N, K) bool
+    overflow: () bool -- some atom exceeded K in-cutoff neighbors
+    """
+    table: jnp.ndarray
+    offsets: jnp.ndarray
+    mask: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def generate_neighbor_table(xyz, cutoff, cell, k_max, select_mask=None):
+    """(N, K) neighbor table via lax.top_k -- the gather-only edge format.
+
+    Message passing over a table needs NO scatter: agg[i] =
+    sum_k f(r[table[i, k]]), a gather + K-axis reduction, which maps to
+    the TPU far better than segment-sum scatters over flat edge lists.
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    d, offsets = _disp_planes(xyz, cell)
+    dist_sq = (d ** 2).sum(0)
+    n = xyz.shape[-2]
+    eye = jnp.eye(n, dtype=bool)
+    within = (dist_sq < cutoff ** 2) & ~eye
+    if select_mask is not None:
+        within = within & select_mask
+    score = jnp.where(within, dist_sq, jnp.inf)
+    neg_top, cols = jax.lax.top_k(-score, k_max)
+    valid = neg_top > -jnp.inf
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k_max))
+    table = jnp.where(valid, cols, n).astype(jnp.int32)
+    off = jnp.where(valid[..., None],
+                    jnp.moveaxis(offsets[:, rows, cols], 0, -1), 0.0)
+    overflow = (within.sum(-1) > k_max).any()
+    return NeighborTable(table=table, offsets=off, mask=valid,
+                         overflow=overflow)
+
+
 def count_pairs(xyz, cutoff, cell, select_mask=None):
     """Number of (i<j) pairs within cutoff -- for capacity estimation."""
     mask, _, _ = _cutoff_mask(jnp.asarray(xyz), cell, cutoff, select_mask)
