@@ -42,6 +42,22 @@ class NVTState(typing.NamedTuple):
     pv: jnp.ndarray  # Nose-Hoover chain bath momenta
 
 
+class NVEStateF(typing.NamedTuple):
+    """NVE state with a cached force (one potential eval per step)."""
+    v: jnp.ndarray
+    q: jnp.ndarray
+    f: jnp.ndarray
+    fv: jnp.ndarray  # force validity flag (0 before the first step)
+
+
+class NVTStateF(typing.NamedTuple):
+    v: jnp.ndarray
+    q: jnp.ndarray
+    pv: jnp.ndarray
+    f: jnp.ndarray
+    fv: jnp.ndarray
+
+
 def rk4_step(derivs_fn, state, t, dt):
     """RK4 "3/8 rule" step on an arbitrary state pytree
     (parity: reference tinydiffeq.py:97-103)."""
@@ -60,7 +76,7 @@ class _MDIntegrator:
     """Shared machinery for NVE / NoseHooverChain."""
 
     def __init__(self, potentials, system, adjoint=True,
-                 topology_update_freq=1):
+                 topology_update_freq=1, force_cache=True):
         check_system(system)
         self.model = potentials
         self.system = system
@@ -69,6 +85,10 @@ class _MDIntegrator:
         self.n_dof = system.get_number_of_atoms() * system.dim
         self.adjoint = adjoint
         self.topology_update_freq = topology_update_freq
+        # the end-of-step force equals the next step's start force; caching
+        # it halves potential evaluations vs the reference's two EOM evals
+        # per NH-verlet step (sovlers.py:110-127)
+        self.force_cache = force_cache
 
     # -- functional surface --------------------------------------------------
     def init_params(self):
@@ -89,12 +109,35 @@ class _MDIntegrator:
     def step(self, params, state, aux, ctrl, t, dt, method=None):
         method = method or self.default_method
         if method in ("verlet", "NH_verlet"):
+            if self.force_cache:
+                return self._symplectic_step_cached(params, state, aux,
+                                                    ctrl, t, dt)
             return self._symplectic_step(params, state, aux, ctrl, t, dt)
         if method == "rk4":
             return rk4_step(
                 lambda s, tt: self.derivs(params, s, aux, ctrl, tt),
                 state, t, dt)
         raise ValueError(f"unknown method {method!r}")
+
+    def _symplectic_step_cached(self, params, state, aux, ctrl, t, dt):
+        """Velocity-Verlet-family step with ONE potential evaluation:
+        the start-of-step force is the cached end-of-step force of the
+        previous step (recomputed only on the very first step, fv == 0)."""
+        f0 = jax.lax.cond(state.fv > 0, lambda: state.f,
+                          lambda: self.force(params, state.q, aux))
+        dv0, dbath0 = self.derivs_from_force(params, state, ctrl, f0)
+        v_half = state.v + 0.5 * dt * dv0
+        q_new = state.q + v_half * dt
+        mid = state._replace(v=v_half, q=q_new)
+        if dbath0 is not None:
+            mid = mid._replace(pv=state.pv + 0.5 * dt * dbath0)
+        f1 = self.force(params, q_new, aux)
+        dv1, dbath1 = self.derivs_from_force(params, mid, ctrl, f1)
+        new = mid._replace(v=v_half + 0.5 * dt * dv1, f=f1,
+                           fv=jnp.ones(()))
+        if dbath1 is not None:
+            new = new._replace(pv=mid.pv + 0.5 * dt * dbath1)
+        return new
 
     def _symplectic_step(self, params, state, aux, ctrl, t, dt):
         """Velocity-Verlet-family step: half-kick on all momentum-like
@@ -120,13 +163,22 @@ class NVE(_MDIntegrator):
     default_method = "verlet"
 
     def initial_state(self, wrap=True):
-        return NVEState(
-            v=jnp.asarray(self.system.get_velocities()),
-            q=jnp.asarray(self.system.get_positions(wrap=wrap)))
+        v = jnp.asarray(self.system.get_velocities())
+        q = jnp.asarray(self.system.get_positions(wrap=wrap))
+        if self.force_cache and self.default_method != "rk4":
+            return NVEStateF(v=v, q=q, f=jnp.zeros_like(q),
+                             fv=jnp.zeros(()))
+        return NVEState(v=v, q=q)
+
+    def derivs_from_force(self, params, state, ctrl, f):
+        return f / self.masses, None
 
     def derivs(self, params, state, aux, ctrl, t):
         f = self.force(params, state.q, aux)
-        return NVEState(v=f / self.masses, q=state.v)
+        return type(state)(*([f / self.masses, state.v]
+                             + ([jnp.zeros_like(state.f),
+                                 jnp.zeros(())]
+                                if hasattr(state, "f") else [])))
 
 
 class Langevin(_MDIntegrator):
@@ -223,27 +275,39 @@ class NoseHooverChain(_MDIntegrator):
         return {"kT": jnp.asarray(self.T * units.kB)}
 
     def initial_state(self, wrap=True):
-        return NVTState(
-            v=jnp.asarray(self.system.get_velocities()),
-            q=jnp.asarray(self.system.get_positions(wrap=wrap)),
-            pv=jnp.zeros(self.num_chains))
+        v = jnp.asarray(self.system.get_velocities())
+        q = jnp.asarray(self.system.get_positions(wrap=wrap))
+        pv = jnp.zeros(self.num_chains)
+        if self.force_cache and self.default_method != "rk4":
+            return NVTStateF(v=v, q=q, pv=pv, f=jnp.zeros_like(q),
+                             fv=jnp.zeros(()))
+        return NVTState(v=v, q=q, pv=pv)
 
-    def derivs(self, params, state, aux, ctrl, t):
-        """Chain EOM, exactly reference md.py:210-240."""
+    def _bath_derivs(self, state, ctrl, f):
+        """Chain EOM given the force (reference md.py:210-240)."""
         kT = ctrl["kT"]
-        v, q, pv = state
+        v, q, pv = state.v, state.q, state.pv
         m = self.masses
         p = v * m
         sys_ke = 0.5 * (p ** 2 / m).sum()
-
-        f = self.force(params, q, aux)
         coupled = pv[0] * p / self.Q[0]
         dvdt = (f - coupled) / m
-
         dpv0 = (2 * (sys_ke - kT * self.n_dof * 0.5)
                 - pv[0] * pv[1] / self.Q[1])
         dpv_mid = ((pv[:-2] ** 2 / self.Q[:-2] - kT)
                    - pv[2:] * pv[1:-1] / self.Q[2:])
         dpv_last = pv[-2] ** 2 / self.Q[-2] - kT
         dpvdt = jnp.concatenate([dpv0[None], dpv_mid, dpv_last[None]])
-        return NVTState(v=dvdt, q=v, pv=dpvdt)
+        return dvdt, dpvdt
+
+    def derivs_from_force(self, params, state, ctrl, f):
+        return self._bath_derivs(state, ctrl, f)
+
+    def derivs(self, params, state, aux, ctrl, t):
+        f = self.force(params, state.q, aux)
+        dvdt, dpvdt = self._bath_derivs(state, ctrl, f)
+        if hasattr(state, "f"):
+            return type(state)(v=dvdt, q=state.v, pv=dpvdt,
+                               f=jnp.zeros_like(state.f),
+                               fv=jnp.zeros(()))
+        return NVTState(v=dvdt, q=state.v, pv=dpvdt)
