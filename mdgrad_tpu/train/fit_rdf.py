@@ -182,7 +182,6 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     inference MSE summed over state points, or the NaN penalty)."""
     registry = exp_rdf_data_dict if registry is None else registry
     rng = np.random.default_rng(0) if rng is None else rng
-    dt = sys_params["dt"]
     n_epochs = sys_params["n_epochs"]
     n_sim = sys_params.get("n_sim", 2)
     tau = assignments["opt_freq"]
@@ -237,11 +236,21 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
          "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
 
+    def _dt_for(tag):
+        # dt is in femtoseconds for physical-units targets (water/Si; the
+        # reference's fit_rdf actually ignores its dt and integrates at
+        # the 1 fs default, md.py:73) and in reduced time units for the
+        # LJ-style registries (fit_rdf_pair passes dt through directly)
+        entry = registry[tag]
+        scale = 1.0 if entry.get("reduced_units") else units.fs
+        return sys_params["dt"] * scale
+
     loss_and_grads = []
     md_states = []
-    for sim, obs, g_t, system in zip(sims, observers, targets, systems):
+    for tag, sim, obs, g_t, system in zip(all_sys, sims, observers,
+                                          targets, systems):
         loss_and_grads.append(_make_epoch_loss(
-            sim, obs, g_t, system, tau, dt, frame_skip))
+            sim, obs, g_t, system, tau, _dt_for(tag), frame_skip))
         md_states.append(sim.initial_state())
 
     loss_log, js_log = [], []
@@ -297,7 +306,7 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         sim.state, sim.aux = md_states[j]
         frames = []
         for _ in range(n_sim):
-            traj = sim.simulate(steps=100, dt=dt, frequency=25)
+            traj = sim.simulate(steps=100, dt=_dt_for(tag), frequency=25)
             frames.append(np.asarray(traj.q[-1]))
         x, g_obs, obs = get_observer(systems[j], tag, test_nbins, registry)
         g_sim = np.mean([np.asarray(obs(jnp.asarray(f))[2])
