@@ -304,10 +304,18 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         sim = sims[j]
         sim.params = params
         sim.state, sim.aux = md_states[j]
-        frames = []
+        # include the last training frame and skip non-finite rollout
+        # frames: diverged inference runs must not poison the average (the
+        # reference averages its whole position log, fit_rdf_gnn.py:483-496)
+        frames = [np.asarray(md_states[j][0].q)]
         for _ in range(n_sim):
             traj = sim.simulate(steps=100, dt=_dt_for(tag), frequency=25)
-            frames.append(np.asarray(traj.q[-1]))
+            f = np.asarray(traj.q[-1])
+            if np.isfinite(f).all():
+                frames.append(f)
+            else:
+                log(f"inference rollout diverged for {tag}; frame skipped")
+                sim.state, sim.aux = md_states[j]  # restart from last good
         x, g_obs, obs = get_observer(systems[j], tag, test_nbins, registry)
         g_sim = np.mean([np.asarray(obs(jnp.asarray(f))[2])
                          for f in frames], axis=0)
@@ -323,4 +331,9 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     if model_path:
         np.savetxt(os.path.join(model_path, "loss.csv"),
                    np.asarray(loss_log))
+        from .plots import plot_rdfs, plot_loss
+        plot_loss(loss_log, model_path)
+        for tag, fin in results["final"].items():
+            plot_rdfs(fin["r"], fin["g_obs"], fin["g_sim"],
+                      f"rdf_{tag}_final", model_path, pname="final")
     return results

@@ -259,4 +259,7 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
                    np.asarray(loss_log))
         np.savetxt(os.path.join(model_path, "potential.txt"),
                    np.vstack([r_grid, u_fit]))
+        from .plots import plot_pair, plot_loss
+        plot_pair(r_grid, u_fit, u_target, "final", model_path)
+        plot_loss(loss_log, model_path)
     return results
