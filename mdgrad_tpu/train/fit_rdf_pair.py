@@ -171,6 +171,7 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
     labels = jax.tree_util.tree_map_with_path(label, params)
     opt = optax.multi_transform(
         {"train": optax.chain(
+            optax.clip_by_global_norm(assignments.get("grad_clip", 10.0)),
             optax.adam(assignments["lr"]),
             optax.contrib.reduce_on_plateau(factor=0.5, patience=20,
                                             min_scale=1e-3, atol=5e-5)),

@@ -25,13 +25,14 @@ def main():
     p.add_argument("-dt", type=float, default=0.005)
     p.add_argument("-update_freq", type=int, default=1)
     p.add_argument("-vacf_weight", type=float, default=0.0)
+    p.add_argument("-lr", type=float, default=2e-3)
     p.add_argument("-nepochs", type=int, default=300)
     p.add_argument("-size", type=int, default=4)
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
     assignments = {
-        "nbins": 100, "opt_freq": 120, "lr": 2e-3,
+        "nbins": 100, "opt_freq": 120, "lr": args.lr,
         "sigma": args.sigma, "gaussian_width": 0.1, "n_width": 128,
         "n_layers": 3, "nonlinear": "SELU",
         "rdf_weight": 1.0, "vacf_weight": args.vacf_weight,
