@@ -54,6 +54,21 @@ class GraphAttention(fnn.Module):
         return out
 
 
+class SchNetEdgeUpdate(fnn.Module):
+    """Edge-state update from the connected nodes (arXiv:1806.03146;
+    reference modules.py:579-612): e'_ij = MLP(cat(r_i, r_j))."""
+    n_atom_basis: int
+
+    @fnn.compact
+    def __call__(self, r, idx, mask):
+        ext = jnp.concatenate([r, jnp.zeros_like(r[:1])], axis=0)
+        x = jnp.concatenate([ext[idx[:, 0]], ext[idx[:, 1]]], axis=-1)
+        x = jax.nn.relu(fnn.Dense(self.n_atom_basis)(x))
+        x = jax.nn.relu(fnn.Dense(self.n_atom_basis)(x))
+        e = fnn.Dense(1)(x)
+        return e * mask[:, None].astype(e.dtype)
+
+
 class _HybridModule(fnn.Module):
     n_atom_basis: int
     n_filters: int

@@ -165,6 +165,49 @@ class ReduceLROnPlateauHook(Hook):
                 trainer.stop = True
 
 
+class WarmRestartHook(Hook):
+    """Cosine-annealed LR with warm restarts
+    (reference hooks/scheduling.py:48-112): lr follows a half-cosine from
+    lr_max to lr_min over T epochs; on restart T doubles (T_mult) and the
+    best model so far is reloaded if the cycle regressed."""
+
+    def __init__(self, T0=10, T_mult=2, lr_min=1e-6, lr_factor=1.0,
+                 patience=1):
+        self.T = T0
+        self.T_mult = T_mult
+        self.lr_min = lr_min
+        self.lr_factor = lr_factor
+        self.patience = patience
+        self.epoch_in_cycle = 0
+        self.lr_max = None
+        self.best_cycle = np.inf
+        self.failed_cycles = 0
+
+    def on_epoch_begin(self, trainer):
+        if self.lr_max is None:
+            self.lr_max = trainer.get_lr()
+        frac = min(self.epoch_in_cycle / max(self.T, 1), 1.0)
+        lr = self.lr_min + 0.5 * (self.lr_max - self.lr_min) * (
+            1 + np.cos(np.pi * frac))
+        trainer.set_lr(lr)
+        self.epoch_in_cycle += 1
+
+    def on_validation_end(self, trainer, val_loss):
+        if self.epoch_in_cycle < self.T:
+            return
+        # cycle finished: restart
+        self.epoch_in_cycle = 0
+        self.T *= self.T_mult
+        self.lr_max *= self.lr_factor
+        if val_loss > self.best_cycle:
+            self.failed_cycles += 1
+            if self.failed_cycles > self.patience:
+                trainer.stop = True
+        else:
+            self.best_cycle = val_loss
+            self.failed_cycles = 0
+
+
 class ExponentialDecayHook(Hook):
     """lr <- lr * gamma each epoch (reference hooks/scheduling.py:277-296)."""
 

@@ -169,3 +169,81 @@ def test_get_model_validation():
         get_model({"n_atom_basis": "wrong", "n_filters": 16,
                    "n_gaussians": 8, "n_convolutions": 1, "cutoff": 3.0},
                   "SchNet")
+
+
+def test_warm_restart_hook_cosine_cycle(tmp_path):
+    from mdgrad_tpu.train.supervised import WarmRestartHook
+
+    class FakeTrainer:
+        def __init__(self):
+            self.lr = 1e-3
+            self.stop = False
+        def get_lr(self):
+            return self.lr
+        def set_lr(self, v):
+            self.lr = float(v)
+
+    t = FakeTrainer()
+    h = WarmRestartHook(T0=4, T_mult=2, lr_min=1e-6)
+    lrs = []
+    for _ in range(4):
+        h.on_epoch_begin(t)
+        lrs.append(t.lr)
+    # cosine: starts at lr_max, decays toward lr_min
+    assert lrs[0] == pytest.approx(1e-3)
+    assert lrs[-1] < lrs[0]
+    h.on_validation_end(t, 1.0)
+    assert h.T == 8 and h.epoch_in_cycle == 0  # restarted, period doubled
+    h.on_epoch_begin(t)
+    assert t.lr == pytest.approx(1e-3)  # back to lr_max
+
+
+def test_sparse_roundtrip():
+    from mdgrad_tpu.data.sparse import sparsify_tensor, densify
+    a = np.zeros((6, 6), dtype=np.float32)
+    a[1, 2] = 3.0
+    a[4, 0] = -1.0
+    sp = sparsify_tensor(a)
+    assert sp.nse == 2
+    np.testing.assert_allclose(np.asarray(densify(sp)), a)
+
+
+def test_crystals_dict_path():
+    from mdgrad_tpu.data.crystals import dict_to_nxyz, get_crystal_graph
+    from mdgrad_tpu.lattice import face_centered_cubic
+    xyz, cell = face_centered_cubic(2, 1.679)
+    nxyz = dict_to_nxyz({"numbers": np.full(len(xyz), 18),
+                         "positions": xyz})
+    assert nxyz.shape == (32, 4)
+    nbrs = get_crystal_graph(nxyz, cell, 1.6)
+    assert int(nbrs.count) > 0
+
+
+def test_edge_update_module():
+    import jax
+    import jax.numpy as jnp
+    from mdgrad_tpu.nn.models import SchNetEdgeUpdate
+    mod = SchNetEdgeUpdate(n_atom_basis=8)
+    r = jnp.ones((5, 8))
+    idx = jnp.asarray([[0, 1], [2, 3], [5, 5]], dtype=jnp.int32)
+    mask = jnp.asarray([True, True, False])
+    p = mod.init(jax.random.PRNGKey(0), r, idx, mask)
+    e = mod.apply(p, r, idx, mask)
+    assert e.shape == (3, 1)
+    assert float(e[2, 0]) == 0.0  # padded edge masked
+
+
+def test_hessian_utilities():
+    import jax.numpy as jnp
+    from mdgrad_tpu.nn.tensorgrad import (compute_hess,
+                                          vibrational_frequencies)
+    # 1D harmonic dimer: U = 0.5 k (x1 - x0 - r0)^2
+    k = 4.0
+    def u(x):
+        return 0.5 * k * (x[1, 0] - x[0, 0] - 1.0) ** 2
+    x0 = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]])
+    h = compute_hess(u, x0)
+    freqs = vibrational_frequencies(h, np.ones(2))
+    # one mode at sqrt(2k/m) (relative coordinate), rest zero
+    np.testing.assert_allclose(float(freqs.max()), np.sqrt(2 * k),
+                               rtol=1e-5)
