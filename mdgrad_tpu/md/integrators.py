@@ -109,7 +109,9 @@ class _MDIntegrator:
     def step(self, params, state, aux, ctrl, t, dt, method=None):
         method = method or self.default_method
         if method in ("verlet", "NH_verlet"):
-            if self.force_cache:
+            # force caching needs the *F state variants; fall back to the
+            # plain stepper for externally-built states without the cache
+            if self.force_cache and hasattr(state, "fv"):
                 return self._symplectic_step_cached(params, state, aux,
                                                     ctrl, t, dt)
             return self._symplectic_step(params, state, aux, ctrl, t, dt)
