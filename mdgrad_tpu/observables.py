@@ -182,6 +182,23 @@ class angle_distribution:
         return self.bins, count, (angles, mask)
 
 
+class Angles:
+    """Raw cos(angle) observable over dynamically detected triples
+    (parity: reference observable.py:78-110; angle_distribution wraps the
+    same machinery with a soft histogram)."""
+
+    def __init__(self, system, nbins=None, angle_range=None, cutoff=3.0,
+                 k_max=16):
+        check_system(system)
+        self._dist = angle_distribution(
+            system, nbins or 64, angle_range or (0.5, np.pi),
+            cutoff=cutoff, k_max=k_max)
+
+    def __call__(self, xyz):
+        _, _, (angles, mask) = self._dist(xyz)
+        return jnp.cos(angles), mask
+
+
 def compute_dihe(xyz, dihes):
     """cos(phi) of dihedrals (parity: reference observable.py:181-197)."""
     assert xyz.ndim == 3
