@@ -155,10 +155,18 @@ class GNNPotentials(Interaction):
     metadata; edges are a fixed-capacity padded list."""
 
     def __init__(self, system, gnn, cutoff, ex_pairs=None, capacity=None,
-                 capacity_slack=1.6, nbr_mode="table", k_max=None):
+                 capacity_slack=1.6, nbr_mode="table", k_max=None,
+                 skin=0.0):
         check_system(system)
         self.gnn = gnn
         self.cutoff = cutoff
+        # Verlet skin: the list is built at cutoff + skin and edges are
+        # re-masked by their current length inside the GNN, so stale lists
+        # stay EXACT as long as no atom moves more than skin/2 between
+        # rebuilds (set topology_update_freq accordingly).  The reference
+        # has no such mechanism -- it rebuilds every step (md.py:112).
+        self.skin = skin
+        self.build_cutoff = cutoff + skin
         self.cell = jnp.asarray(system.get_cell())
         self.z = jnp.asarray(system.get_atomic_numbers(), dtype=jnp.int32)
         n = system.get_number_of_atoms()
@@ -171,7 +179,7 @@ class GNNPotentials(Interaction):
             if k_max is None:
                 d, _ = topology.displacement_matrix(xyz0, self.cell)
                 dist_sq = (d ** 2).sum(-1) + jnp.eye(n) * 1e9
-                within = dist_sq < cutoff ** 2
+                within = dist_sq < self.build_cutoff ** 2
                 if self.select_mask is not None:
                     within = within & self.select_mask
                 k0 = int(jnp.max(within.sum(-1)))
@@ -188,7 +196,8 @@ class GNNPotentials(Interaction):
     def aux_init(self, xyz):
         if self.nbr_mode == "table":
             return topology.generate_neighbor_table(
-                xyz, self.cutoff, self.cell, self.k_max, self.select_mask)
+                xyz, self.build_cutoff, self.cell, self.k_max,
+                self.select_mask)
         if self.nbr_mode == "topk":
             return topology.generate_nbr_list_topk(
                 xyz, self.cutoff, self.cell, self.k_max, self.select_mask,
@@ -206,7 +215,10 @@ class GNNPotentials(Interaction):
         if self.nbr_mode == "table":
             return self.gnn.energy(params, self.z, xyz, nbrs.table,
                                    offsets_real, nbrs.mask,
-                                   edge_format="table")
+                                   edge_format="table",
+                                   runtime_cutoff=(self.cutoff
+                                                   if self.skin > 0
+                                                   else None))
         return self.gnn.energy(params, self.z, xyz, nbrs.idx, offsets_real,
                                nbrs.mask,
                                directed=(self.nbr_mode == "topk"))

@@ -56,7 +56,8 @@ class SchNetConv(fnn.Module):
 
     @fnn.compact
     def __call__(self, r, e, idx, mask, n_atoms, aggr_wgt=None,
-                 directed=False, edge_format="pairs"):
+                 directed=False, edge_format="pairs",
+                 runtime_cutoff=None):
         # edge filter: smearing -> Dense -> ssp -> Dense
         # (reference modules.py:530-541)
         init_off = np.linspace(0.0, self.cutoff, self.n_gaussians)
@@ -73,6 +74,11 @@ class SchNetConv(fnn.Module):
             offsets = jnp.asarray(init_off, dtype=jnp.float32)
             widths = jnp.full(self.n_gaussians, width0, dtype=jnp.float32)
 
+        if runtime_cutoff is not None:
+            # Verlet-skin support: the edge list was built at
+            # cutoff + skin; mask edges by their CURRENT length so stale
+            # lists stay exact between rebuilds
+            mask = mask & (e.squeeze(-1) < runtime_cutoff)
         ef = gaussian_smearing(e, offsets, widths)
         ef = shifted_softplus(fnn.Dense(self.n_gaussians)(ef))
         ef = fnn.Dense(self.n_filters)(ef)
@@ -124,7 +130,8 @@ class _SchNetModule(fnn.Module):
 
     @fnn.compact
     def __call__(self, z, xyz, idx, offsets_real, mask, aggr_wgt=None,
-                 directed=False, edge_format="pairs"):
+                 directed=False, edge_format="pairs",
+                 runtime_cutoff=None):
         n_atoms = z.shape[0]
         # pad-safe gather: sentinel row for index N
         ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
@@ -142,7 +149,8 @@ class _SchNetModule(fnn.Module):
                             self.n_gaussians, self.cutoff,
                             self.trainable_gauss)(r, e, idx, mask, n_atoms,
                                                   aggr_wgt, directed,
-                                                  edge_format)
+                                                  edge_format,
+                                                  runtime_cutoff)
             r = r + dr  # residual stack (reference schnet.py:149-151)
 
         out = {}
@@ -181,18 +189,20 @@ class SchNet:
             jnp.zeros((1, 3)), jnp.ones(1, dtype=bool))["params"]
 
     def atomwise(self, params, z, xyz, idx, offsets_real, mask,
-                 aggr_wgt=None, directed=False, edge_format="pairs"):
+                 aggr_wgt=None, directed=False, edge_format="pairs",
+                 runtime_cutoff=None):
         """Per-atom readout dict (keys -> (N,))."""
         return self.module.apply({"params": params}, z, xyz, idx,
                                  offsets_real, mask, aggr_wgt, directed,
-                                 edge_format)
+                                 edge_format, runtime_cutoff)
 
     def energy(self, params, z, xyz, idx, offsets_real, mask,
-               aggr_wgt=None, directed=False, edge_format="pairs"):
+               aggr_wgt=None, directed=False, edge_format="pairs",
+               runtime_cutoff=None):
         """Total potential energy (scalar)."""
         return self.atomwise(params, z, xyz, idx, offsets_real, mask,
-                             aggr_wgt, directed,
-                             edge_format)["energy"].sum()
+                             aggr_wgt, directed, edge_format,
+                             runtime_cutoff)["energy"].sum()
 
     def energy_and_forces(self, params, z, xyz, idx, offsets_real, mask):
         """(U, F = -dU/dxyz); differentiable for grad-of-grad training."""

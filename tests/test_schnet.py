@@ -103,3 +103,17 @@ def test_atomwise_readout_keys(sys32):
     out = gnn.atomwise(p, z, xyz, nbrs.idx, off, nbrs.mask)
     assert set(out.keys()) == {"energy", "energy_1"}
     assert out["energy"].shape == (32,)
+
+
+def test_verlet_skin_exactness(sys32):
+    """Stale skinned list == fresh list while displacements < skin/2."""
+    gnn = SchNet(PARAMS)
+    fresh = GNNPotentials(sys32, gnn, cutoff=2.0)
+    skinned = GNNPotentials(sys32, gnn, cutoff=2.0, skin=0.6)
+    p = fresh.init_params()
+    xyz0 = jnp.asarray(sys32.get_positions())
+    rng = np.random.default_rng(9)
+    xyz1 = xyz0 + jnp.asarray(rng.normal(0, 0.08, xyz0.shape))
+    u_fresh = float(fresh.energy(p, xyz1, fresh.aux_init(xyz1)))
+    u_stale = float(skinned.energy(p, xyz1, skinned.aux_init(xyz0)))
+    np.testing.assert_allclose(u_stale, u_fresh, rtol=1e-6)
