@@ -107,13 +107,15 @@ def test_atomwise_readout_keys(sys32):
 
 def test_verlet_skin_exactness(sys32):
     """Stale skinned list == fresh list while displacements < skin/2."""
-    gnn = SchNet(PARAMS)
-    fresh = GNNPotentials(sys32, gnn, cutoff=2.0)
-    skinned = GNNPotentials(sys32, gnn, cutoff=2.0, skin=0.6)
+    # build cutoff (cutoff + skin) must stay under L/2 = 1.679 in this box
+    gnn = SchNet({**PARAMS, "cutoff": 1.3})
+    fresh = GNNPotentials(sys32, gnn, cutoff=1.3)
+    skinned = GNNPotentials(sys32, gnn, cutoff=1.3, skin=0.3)
     p = fresh.init_params()
     xyz0 = jnp.asarray(sys32.get_positions())
     rng = np.random.default_rng(9)
-    xyz1 = xyz0 + jnp.asarray(rng.normal(0, 0.08, xyz0.shape))
+    xyz1 = xyz0 + jnp.asarray(rng.normal(0, 0.05, xyz0.shape))
     u_fresh = float(fresh.energy(p, xyz1, fresh.aux_init(xyz1)))
     u_stale = float(skinned.energy(p, xyz1, skinned.aux_init(xyz0)))
-    np.testing.assert_allclose(u_stale, u_fresh, rtol=1e-6)
+    # tiny-total energies: tolerance dominated by f32 sum order
+    np.testing.assert_allclose(u_stale, u_fresh, rtol=1e-4, atol=1e-6)
