@@ -203,8 +203,9 @@ class Langevin(_MDIntegrator):
     default_method = "langevin"
 
     def __init__(self, potentials, system, T, friction=0.01, adjoint=True,
-                 topology_update_freq=1, seed=0):
-        super().__init__(potentials, system, adjoint, topology_update_freq)
+                 topology_update_freq=1, seed=0, force_cache=True):
+        super().__init__(potentials, system, adjoint, topology_update_freq,
+                         force_cache=force_cache)
         self.T = T
         self.friction = friction
         self.base_key = jax.random.PRNGKey(seed)
@@ -258,8 +259,9 @@ class NoseHooverChain(_MDIntegrator):
     default_method = "NH_verlet"
 
     def __init__(self, potentials, system, T, num_chains=2, Q=1.0,
-                 adjoint=True, topology_update_freq=1):
-        super().__init__(potentials, system, adjoint, topology_update_freq)
+                 adjoint=True, topology_update_freq=1, force_cache=True):
+        super().__init__(potentials, system, adjoint, topology_update_freq,
+                         force_cache=force_cache)
         if num_chains < 2:
             raise ValueError("NoseHooverChain needs num_chains >= 2")
         self.T = T
