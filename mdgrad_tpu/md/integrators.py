@@ -104,6 +104,10 @@ class _MDIntegrator:
         return {}
 
     def force(self, params, q, aux):
+        # interactions may provide a direct (possibly custom-vjp fused)
+        # force -- e.g. the Pallas pair kernel -- else autodiff the energy
+        if hasattr(self.model, "force"):
+            return self.model.force(params, q, aux)
         return -jax.grad(self.model.energy, argnums=1)(params, q, aux)
 
     def step(self, params, state, aux, ctrl, t, dt, method=None):

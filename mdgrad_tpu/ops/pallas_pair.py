@@ -153,14 +153,18 @@ def lj_energy_forces(xyz, cell_len, cutoff, sigma, epsilon, rep_pow=12,
 
 
 class PallasLJPair:
-    """Interaction-protocol adapter over the fused kernel (sampling path).
+    """Interaction-protocol adapter over the fused kernels.
 
-    Drop-in for PairPotentials with an LJ-family model when running
-    adjoint=False MD at scale; ``energy``/``force`` bypass autodiff.
+    ``force`` is the custom-vjp kernel (make_lj_force) whose backward is
+    an analytic Hessian-vector-product kernel: usable INSIDE the fitting
+    adjoint (gradients of trajectory losses reach sigma/epsilon and
+    positions through the force).  ``energy`` uses the plain fused kernel
+    (observables/logging; not meant for grad-of-grad chains -- MD steps
+    consume ``force`` directly via the integrator dispatch).
     """
 
     def __init__(self, system, cutoff, sigma=1.0, epsilon=1.0, rep_pow=12,
-                 attr_pow=6):
+                 attr_pow=6, interpret=False):
         from ..system import check_system
         check_system(system)
         self.cell_len = jnp.asarray(np.diag(system.get_cell()),
@@ -168,6 +172,9 @@ class PallasLJPair:
         self.cutoff = cutoff
         self.sigma, self.epsilon = sigma, epsilon
         self.rep_pow, self.attr_pow = rep_pow, attr_pow
+        self.interpret = interpret
+        self._force = make_lj_force(self.cell_len, cutoff, rep_pow,
+                                    attr_pow, interpret=interpret)
 
     def init_params(self):
         return {"sigma": jnp.asarray(self.sigma),
@@ -182,11 +189,225 @@ class PallasLJPair:
     def energy(self, params, xyz, aux):
         e, _ = lj_energy_forces(xyz, self.cell_len, self.cutoff,
                                 params["sigma"], params["epsilon"],
-                                self.rep_pow, self.attr_pow)
+                                self.rep_pow, self.attr_pow,
+                                interpret=self.interpret)
         return e
 
     def force(self, params, xyz, aux):
-        _, f = lj_energy_forces(xyz, self.cell_len, self.cutoff,
-                                params["sigma"], params["epsilon"],
-                                self.rep_pow, self.attr_pow)
+        return self._force(xyz, params["sigma"], params["epsilon"])
+
+
+# ---------------------------------------------------------------------------
+# differentiable force path: custom-vjp force with an analytic HVP kernel
+# ---------------------------------------------------------------------------
+
+def _force_param_kernel(rep_pow, attr_pow, n_col_tiles, n_real,
+                        xyz_row_ref, xyz_full_ref, cell_ref, params_ref,
+                        force_ref, dsig_ref, ueps_ref):
+    """Forces + per-row-block d(U)/dsigma and U/epsilon partials (the
+    latter two feed parameter cotangents)."""
+    sigma = params_ref[0]
+    epsilon = params_ref[1]
+    cutoff_sq = params_ref[2] ** 2
+    cell = (cell_ref[0], cell_ref[1], cell_ref[2])
+    i0 = pl.program_id(0) * TILE_R
+    rows = xyz_row_ref[:, :]
+    row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
+
+    def min_img(dr, L):
+        return dr - jnp.round(dr / L) * L
+
+    def col_body(c, carry):
+        f_acc, ds_acc, ue_acc = carry
+        cols = xyz_full_ref[:, pl.ds(c * TILE_C, TILE_C)]
+        col_ids = c * TILE_C + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_R, TILE_C), 1)
+        dx = min_img(rows[0][:, None] - cols[0][None, :], cell[0])
+        dy = min_img(rows[1][:, None] - cols[1][None, :], cell[1])
+        dz = min_img(rows[2][:, None] - cols[2][None, :], cell[2])
+        r_sq = dx * dx + dy * dy + dz * dz
+        valid = ((col_ids != row_ids) & (r_sq < cutoff_sq)
+                 & (col_ids < n_real) & (row_ids < n_real))
+        r_sq = jnp.where(valid, r_sq, 1.0)
+        inv_r2 = 1.0 / r_sq
+        sr = sigma * jnp.sqrt(inv_r2)
+        sr_a = sr ** attr_pow
+        sr_r = sr ** rep_pow
+        vm = valid.astype(jnp.float32)
+        # g = u'(r)/r
+        g = 4.0 * epsilon * (-rep_pow * sr_r + attr_pow * sr_a) \
+            * inv_r2 * vm
+        fx = -jnp.sum(g * dx, axis=1)
+        fy = -jnp.sum(g * dy, axis=1)
+        fz = -jnp.sum(g * dz, axis=1)
+        f_acc = f_acc + jnp.stack([fx, fy, fz], axis=0)
+        # dU/dsigma partial (pairs counted half)
+        ds_acc = ds_acc + 0.5 * jnp.sum(
+            4.0 * epsilon * (rep_pow * sr_r - attr_pow * sr_a)
+            / sigma * vm)
+        # U/epsilon partial
+        ue_acc = ue_acc + 0.5 * jnp.sum(4.0 * (sr_r - sr_a) * vm)
+        return f_acc, ds_acc, ue_acc
+
+    f, ds, ue = jax.lax.fori_loop(
+        0, n_col_tiles, col_body,
+        (jnp.zeros((3, TILE_R), jnp.float32), jnp.zeros((), jnp.float32),
+         jnp.zeros((), jnp.float32)))
+    force_ref[:, :] = f
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    dsig_ref[:, :] = jnp.where((ri == 0) & (ci == 0), ds, 0.0)
+    ueps_ref[:, :] = jnp.where((ri == 0) & (ci == 0), ue, 0.0)
+
+
+def _force_hvp_kernel(rep_pow, attr_pow, n_col_tiles, n_real,
+                      xyz_row_ref, xyz_full_ref, w_row_ref, w_full_ref,
+                      cell_ref, params_ref, dxyz_ref, dsig_ref,
+                      deps_ref):
+    """vjp of the force map: (dF/dx)^T W (symmetric: = -Hessian @ W),
+    plus d(W . F)/dsigma and d(W . F)/depsilon.
+
+    Pair-potential Hessian blocks: B_ij = (u'' - u'/r) dhat dhat^T
+    + (u'/r) I; vjp_i = sum_j B_ij (W_j - W_i).
+    """
+    sigma = params_ref[0]
+    epsilon = params_ref[1]
+    cutoff_sq = params_ref[2] ** 2
+    cell = (cell_ref[0], cell_ref[1], cell_ref[2])
+    i0 = pl.program_id(0) * TILE_R
+    rows = xyz_row_ref[:, :]
+    w_rows = w_row_ref[:, :]
+    row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
+
+    def min_img(dr, L):
+        return dr - jnp.round(dr / L) * L
+
+    def col_body(c, carry):
+        o_acc, ds_acc, de_acc = carry
+        cols = xyz_full_ref[:, pl.ds(c * TILE_C, TILE_C)]
+        w_cols = w_full_ref[:, pl.ds(c * TILE_C, TILE_C)]
+        col_ids = c * TILE_C + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_R, TILE_C), 1)
+        dx = min_img(rows[0][:, None] - cols[0][None, :], cell[0])
+        dy = min_img(rows[1][:, None] - cols[1][None, :], cell[1])
+        dz = min_img(rows[2][:, None] - cols[2][None, :], cell[2])
+        wx = w_cols[0][None, :] - w_rows[0][:, None]   # W_j - W_i
+        wy = w_cols[1][None, :] - w_rows[1][:, None]
+        wz = w_cols[2][None, :] - w_rows[2][:, None]
+        r_sq = dx * dx + dy * dy + dz * dz
+        valid = ((col_ids != row_ids) & (r_sq < cutoff_sq)
+                 & (col_ids < n_real) & (row_ids < n_real))
+        r_sq = jnp.where(valid, r_sq, 1.0)
+        inv_r2 = 1.0 / r_sq
+        sr = sigma * jnp.sqrt(inv_r2)
+        sr_a = sr ** attr_pow
+        sr_r = sr ** rep_pow
+        vm = valid.astype(jnp.float32)
+        R, A = rep_pow, attr_pow
+        # u'/r and (u'' - u'/r)/r^2 for the LJ family
+        g = 4.0 * epsilon * (-R * sr_r + A * sr_a) * inv_r2
+        h = 4.0 * epsilon * (R * (R + 2) * sr_r
+                             - A * (A + 2) * sr_a) * inv_r2 * inv_r2
+        g = g * vm
+        h = h * vm
+        wd = wx * dx + wy * dy + wz * dz
+        ox = jnp.sum(h * wd * dx + g * wx, axis=1)
+        oy = jnp.sum(h * wd * dy + g * wy, axis=1)
+        oz = jnp.sum(h * wd * dz + g * wz, axis=1)
+        o_acc = o_acc + jnp.stack([ox, oy, oz], axis=0)
+        # d(W.F)/dsigma: F_i = -sum_j g d_ij -> dF/dsigma = -sum dg/dsigma d
+        # dg/dsigma = 4 eps (-R^2 sr_r + A^2 sr_a) / (sigma r^2)
+        dgds = 4.0 * epsilon * (-R * R * sr_r + A * A * sr_a) \
+            * inv_r2 / sigma * vm
+        # W_i . dF_i/dsigma summed over i: -(W_i . d_ij) dgds; note
+        # (W_i . d) = -(wd + W_j.d - ... ) -- use W rows directly:
+        wrd = (w_rows[0][:, None] * dx + w_rows[1][:, None] * dy
+               + w_rows[2][:, None] * dz)
+        ds_acc = ds_acc - jnp.sum(dgds * wrd)
+        de_acc = de_acc - jnp.sum(g / epsilon * wrd)
+        return o_acc, ds_acc, de_acc
+
+    o, ds, de = jax.lax.fori_loop(
+        0, n_col_tiles, col_body,
+        (jnp.zeros((3, TILE_R), jnp.float32), jnp.zeros((), jnp.float32),
+         jnp.zeros((), jnp.float32)))
+    dxyz_ref[:, :] = o
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    dsig_ref[:, :] = jnp.where((ri == 0) & (ci == 0), ds, 0.0)
+    deps_ref[:, :] = jnp.where((ri == 0) & (ci == 0), de, 0.0)
+
+
+def make_lj_force(cell_len, cutoff, rep_pow=12, attr_pow=6,
+                  interpret=False):
+    """Differentiable fused force: ``force(xyz, sigma, eps) -> (N, 3)``.
+
+    custom_vjp backward runs the analytic HVP kernel, so the force can sit
+    inside MD steps that the trajectory adjoint differentiates (the
+    second-order grad-of-grad chain of the fitting loss).
+    """
+    cell = jnp.asarray(cell_len, jnp.float32).reshape(3)
+
+    def _call(kernel_fn, n_out_extra, xyz, sigma, eps, *extra):
+        n = xyz.shape[0]
+        n_pad = _round_up(max(n, TILE_R), TILE_C)
+        xyz_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
+            jnp.asarray(xyz, jnp.float32).T)
+        ins = [xyz_t, xyz_t]
+        in_specs = [
+            pl.BlockSpec((3, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        for e in extra:
+            e_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
+                jnp.asarray(e, jnp.float32).T)
+            ins += [e_t, e_t]
+            in_specs += [
+                pl.BlockSpec((3, TILE_R), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        params = jnp.stack([jnp.asarray(sigma, jnp.float32),
+                            jnp.asarray(eps, jnp.float32),
+                            jnp.asarray(cutoff, jnp.float32)])
+        ins += [cell, params]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                     pl.BlockSpec(memory_space=pltpu.SMEM)]
+        grid = n_pad // TILE_R
+        kernel = functools.partial(kernel_fn, rep_pow, attr_pow,
+                                   n_pad // TILE_C, n)
+        out_specs = [pl.BlockSpec((3, TILE_R), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((3, n_pad), jnp.float32)]
+        for _ in range(n_out_extra):
+            out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((grid * 8, 128),
+                                                  jnp.float32))
+        outs = pl.pallas_call(kernel, grid=(grid,), in_specs=in_specs,
+                              out_specs=out_specs, out_shape=out_shape,
+                              interpret=interpret)(*ins)
+        main = outs[0][:, :n].T
+        return (main,) + tuple(o.sum() for o in outs[1:])
+
+    @jax.custom_vjp
+    def force(xyz, sigma, eps):
+        f, _, _ = _call(_force_param_kernel, 2, xyz, sigma, eps)
         return f
+
+    def force_fwd(xyz, sigma, eps):
+        f, _, _ = _call(_force_param_kernel, 2, xyz, sigma, eps)
+        return f, (xyz, sigma, eps)
+
+    def force_bwd(res, w):
+        xyz, sigma, eps = res
+        dxyz, dsig, deps = _call(_force_hvp_kernel, 2, xyz, sigma, eps, w)
+        return (dxyz.astype(xyz.dtype),
+                jnp.asarray(dsig, jnp.float32).astype(jnp.result_type(sigma)),
+                jnp.asarray(deps, jnp.float32).astype(jnp.result_type(eps)))
+
+    force.defvjp(force_fwd, force_bwd)
+    return force

@@ -59,25 +59,18 @@ def test_kernel_padding_independence(perturbed_fcc):
                                rtol=1e-5, atol=1e-3)
 
 
-def test_pallas_interaction_runs_md(perturbed_fcc, monkeypatch):
+def test_pallas_interaction_runs_md(perturbed_fcc):
     """PallasLJPair drives NVE through the Simulation machinery
-    (interpret mode on CPU)."""
+    (interpret mode on CPU); the integrator picks up the model-provided
+    force automatically."""
     import mdgrad_tpu.ops.pallas_pair as pp
-    orig = pp.lj_energy_forces
-    monkeypatch.setattr(
-        pp, "lj_energy_forces",
-        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
-
     sys_, _ = perturbed_fcc
     from mdgrad_tpu.md import NVE, Simulation
     sys_.set_temperature(1.0 / units.kB, rng=np.random.default_rng(3))
-    pair = pp.PallasLJPair(sys_, cutoff=2.4, sigma=1.0, epsilon=1.0)
+    pair = pp.PallasLJPair(sys_, cutoff=2.4, sigma=1.0, epsilon=1.0,
+                           interpret=True)
 
-    class PallasNVE(NVE):
-        def force(self, params, q, aux):
-            return self.model.force(params, q, aux)
-
-    integ = PallasNVE(pair, sys_, adjoint=False)
+    integ = NVE(pair, sys_, adjoint=False)
     sim = Simulation(sys_, integ)
     traj = sim.simulate(steps=20, dt=0.002, frequency=20)
     assert np.isfinite(np.asarray(traj.q)).all()
@@ -127,3 +120,42 @@ def test_rdf_pallas_backend_api(perturbed_fcc, monkeypatch):
     g2 = rdf_obs(sys_, 48, (0.75, 2.0), backend="pallas")(xyz)[2]
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_differentiable_pallas_force_in_md_adjoint(perturbed_fcc):
+    """Fitting-path chain: RDF loss -> trajectory adjoint -> pallas force
+    (custom-vjp HVP backward) -> d/d(sigma, epsilon) matches the XLA dense
+    path."""
+    from mdgrad_tpu.ops.pallas_pair import PallasLJPair
+    from mdgrad_tpu.md import NVE, Simulation
+    from mdgrad_tpu.observables import rdf as rdf_obs
+    sys_, _ = perturbed_fcc
+    sys_.set_temperature(1.0 / units.kB, rng=np.random.default_rng(2))
+
+    def make_loss(use_pallas):
+        if use_pallas:
+            pair = PallasLJPair(sys_, cutoff=2.4, sigma=0.95, epsilon=1.0,
+                                interpret=True)
+        else:
+            pair = PairPotentials(
+                sys_, potentials.LennardJones(0.95, 1.0), cutoff=2.4,
+                mode="dense")
+        integ = NVE(pair, sys_, adjoint=True)
+        sim = Simulation(sys_, integ)
+        ode = sim.epoch_fn(dt=0.003, frequency=8)
+        state, aux = sim.initial_state()
+        obs = rdf_obs(sys_, nbins=24, r_range=(0.8, 2.3))
+
+        def loss(p):
+            traj, _ = ode(p, state, aux, {})
+            return (obs(traj.q[-1])[2] ** 2).mean()
+        return loss, sim.params
+
+    loss_p, params = make_loss(True)
+    loss_x, _ = make_loss(False)
+    gp = jax.grad(loss_p)(params)
+    gx = jax.grad(loss_x)(params)
+    for k in ("sigma", "epsilon"):
+        np.testing.assert_allclose(float(gp[k]), float(gx[k]), rtol=5e-3,
+                                   atol=1e-7)
+        assert abs(float(gp[k])) > 0
