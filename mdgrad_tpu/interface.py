@@ -167,6 +167,9 @@ class GNNPotentials(Interaction):
         # has no such mechanism -- it rebuilds every step (md.py:112).
         self.skin = skin
         self.build_cutoff = cutoff + skin
+        if skin > 0 and nbr_mode != "table":
+            raise ValueError("skin > 0 requires nbr_mode='table' (the "
+                             "only mode with runtime cutoff re-masking)")
         self.cell = jnp.asarray(system.get_cell())
         self.z = jnp.asarray(system.get_atomic_numbers(), dtype=jnp.int32)
         n = system.get_number_of_atoms()

@@ -227,17 +227,26 @@ class Langevin(_MDIntegrator):
         return self.default_ctrl()
 
     def initial_state(self, wrap=True):
-        return NVEState(
-            v=jnp.asarray(self.system.get_velocities()),
-            q=jnp.asarray(self.system.get_positions(wrap=wrap)))
+        v = jnp.asarray(self.system.get_velocities())
+        q = jnp.asarray(self.system.get_positions(wrap=wrap))
+        if self.force_cache:
+            return NVEStateF(v=v, q=q, f=jnp.zeros_like(q),
+                             fv=jnp.zeros(()))
+        return NVEState(v=v, q=q)
 
     def step(self, params, state, aux, ctrl, t, dt, method=None):
         kT = ctrl["kT"]
         m = self.masses
-        v, q = state
-        i = jnp.asarray(t / dt, dtype=jnp.uint32)
+        v, q = state.v, state.q
+        # round, don't truncate: t = i*dt in f32 can land just below the
+        # integer and the cast would reuse the previous step's noise key
+        i = jnp.asarray(jnp.round(t / dt), dtype=jnp.uint32)
         sub = jax.random.fold_in(self.base_key, ctrl["noise_step0"] + i)
-        f0 = self.force(params, q, aux)
+        if self.force_cache and hasattr(state, "fv"):
+            f0 = jax.lax.cond(state.fv > 0, lambda: state.f,
+                              lambda: self.force(params, q, aux))
+        else:
+            f0 = self.force(params, q, aux)
         v = v + 0.5 * dt * f0 / m                      # B
         q = q + 0.5 * dt * v                           # A
         c1 = jnp.exp(-self.friction * dt)              # O
@@ -247,6 +256,8 @@ class Langevin(_MDIntegrator):
         q = q + 0.5 * dt * v                           # A
         f1 = self.force(params, q, aux)
         v = v + 0.5 * dt * f1 / m                      # B
+        if self.force_cache and hasattr(state, "fv"):
+            return NVEStateF(v=v, q=q, f=f1, fv=jnp.ones(()))
         return NVEState(v=v, q=q)
 
 

@@ -74,9 +74,11 @@ class TI:
         self.thermo_filename = thermo_filename
         self.traj_filename = traj_filename
 
+        # TI writes its own aggr_wgt-aware BAOAB step below; keep the
+        # plain (uncached) state layout for it
         self.integrator = Langevin(self.interaction, system, T=T_init,
                                    friction=friction, adjoint=False,
-                                   seed=seed)
+                                   seed=seed, force_cache=False)
         # patch energy to read aggr_wgt from ctrl: wrap step fn directly
         integ = self.integrator
 

@@ -157,8 +157,9 @@ class angle_distribution:
         self.cell_len = jnp.asarray(np.diag(system.get_cell()))
 
     def _frame_angles(self, xyz):
-        table, valid, _ = topology.neighbors_per_atom(
+        table, valid, max_count = topology.neighbors_per_atom(
             xyz, self.cutoff, self.cell, self.k_max)
+        overflow = max_count > self.k_max
         triples, mask = topology.angle_triples(table, valid)
         n = self.natoms
         ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
@@ -172,14 +173,19 @@ class angle_distribution:
         cos = jnp.clip(dot / norm, -0.999999, 0.999999)
         angles = jnp.arccos(cos)
         counts = (self.smear(angles[..., None]) * mask[..., None]).sum((0, 1, 2))
-        return counts, angles, mask
+        return counts, angles, mask, overflow
 
     def __call__(self, xyz):
+        """Returns (bins, count, (angles, mask, overflow)); ``overflow``
+        is True when some atom had more than k_max in-cutoff neighbors --
+        triples were then DROPPED and the distribution is biased; raise
+        k_max accordingly (dense liquids at wide cutoffs need k_max of
+        order the coordination number)."""
         xyz = jnp.asarray(xyz).reshape(-1, self.natoms, 3)
-        counts, angles, mask = jax.vmap(self._frame_angles)(xyz)
+        counts, angles, mask, overflow = jax.vmap(self._frame_angles)(xyz)
         count = counts.sum(0)
         count = count / count.sum()
-        return self.bins, count, (angles, mask)
+        return self.bins, count, (angles, mask, overflow.any())
 
 
 class Angles:
@@ -195,7 +201,7 @@ class Angles:
             cutoff=cutoff, k_max=k_max)
 
     def __call__(self, xyz):
-        _, _, (angles, mask) = self._dist(xyz)
+        _, _, (angles, mask, _overflow) = self._dist(xyz)
         return jnp.cos(angles), mask
 
 

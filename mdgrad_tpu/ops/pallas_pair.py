@@ -260,6 +260,47 @@ def _force_param_kernel(rep_pow, attr_pow, n_col_tiles, n_real,
     ueps_ref[:, :] = jnp.where((ri == 0) & (ci == 0), ue, 0.0)
 
 
+def _force_only_kernel(rep_pow, attr_pow, n_col_tiles, n_real,
+                       xyz_row_ref, xyz_full_ref, cell_ref, params_ref,
+                       force_ref):
+    """Forces only -- the per-step hot path (no dead param partials)."""
+    sigma = params_ref[0]
+    epsilon = params_ref[1]
+    cutoff_sq = params_ref[2] ** 2
+    cell = (cell_ref[0], cell_ref[1], cell_ref[2])
+    i0 = pl.program_id(0) * TILE_R
+    rows = xyz_row_ref[:, :]
+    row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
+
+    def min_img(dr, L):
+        return dr - jnp.round(dr / L) * L
+
+    def col_body(c, f_acc):
+        cols = xyz_full_ref[:, pl.ds(c * TILE_C, TILE_C)]
+        col_ids = c * TILE_C + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_R, TILE_C), 1)
+        dx = min_img(rows[0][:, None] - cols[0][None, :], cell[0])
+        dy = min_img(rows[1][:, None] - cols[1][None, :], cell[1])
+        dz = min_img(rows[2][:, None] - cols[2][None, :], cell[2])
+        r_sq = dx * dx + dy * dy + dz * dz
+        valid = ((col_ids != row_ids) & (r_sq < cutoff_sq)
+                 & (col_ids < n_real) & (row_ids < n_real))
+        r_sq = jnp.where(valid, r_sq, 1.0)
+        inv_r2 = 1.0 / r_sq
+        sr = sigma * jnp.sqrt(inv_r2)
+        g = 4.0 * epsilon * (-rep_pow * sr ** rep_pow
+                             + attr_pow * sr ** attr_pow) * inv_r2 \
+            * valid.astype(jnp.float32)
+        fx = -jnp.sum(g * dx, axis=1)
+        fy = -jnp.sum(g * dy, axis=1)
+        fz = -jnp.sum(g * dz, axis=1)
+        return f_acc + jnp.stack([fx, fy, fz], axis=0)
+
+    f = jax.lax.fori_loop(0, n_col_tiles, col_body,
+                          jnp.zeros((3, TILE_R), jnp.float32))
+    force_ref[:, :] = f
+
+
 def _force_hvp_kernel(rep_pow, attr_pow, n_col_tiles, n_real,
                       xyz_row_ref, xyz_full_ref, w_row_ref, w_full_ref,
                       cell_ref, params_ref, dxyz_ref, dsig_ref,
@@ -395,11 +436,11 @@ def make_lj_force(cell_len, cutoff, rep_pow=12, attr_pow=6,
 
     @jax.custom_vjp
     def force(xyz, sigma, eps):
-        f, _, _ = _call(_force_param_kernel, 2, xyz, sigma, eps)
+        (f,) = _call(_force_only_kernel, 0, xyz, sigma, eps)
         return f
 
     def force_fwd(xyz, sigma, eps):
-        f, _, _ = _call(_force_param_kernel, 2, xyz, sigma, eps)
+        (f,) = _call(_force_only_kernel, 0, xyz, sigma, eps)
         return f, (xyz, sigma, eps)
 
     def force_bwd(res, w):

@@ -110,9 +110,10 @@ def make_sharded_epoch(pair_model, cfg, mesh, rdf_range=None, nbins=64):
                                           cfg.cutoff)
         return -jax.grad(e)(q_local)
 
-    def nhc_derivs(params, s, masses_local):
+    def nhc_derivs(params, s, masses_local, kT):
         # per-replica NHC EOM with atoms sharded: kinetic energy psums
-        # over 'sp' (parity with md.py:210-240 physics)
+        # over 'sp' (parity with md.py:210-240 physics); kT is a dynamic
+        # argument (CLAUDE.md: runtime knobs never ride closures)
         v, q, pv = s
         p = v * masses_local[:, None]
         sys_ke = jax.lax.psum(0.5 * (p ** 2 / masses_local[:, None]).sum(),
@@ -120,30 +121,30 @@ def make_sharded_epoch(pair_model, cfg, mesh, rdf_range=None, nbins=64):
         f = local_force(params, q)
         coupled = pv[0] * p / cfg.Q[0]
         dvdt = (f - coupled) / masses_local[:, None]
-        dpv0 = 2 * (sys_ke - cfg.kT * cfg.n_dof * 0.5) \
+        dpv0 = 2 * (sys_ke - kT * cfg.n_dof * 0.5) \
             - pv[0] * pv[1] / cfg.Q[1]
-        dpv_mid = (pv[:-2] ** 2 / cfg.Q[:-2] - cfg.kT) \
+        dpv_mid = (pv[:-2] ** 2 / cfg.Q[:-2] - kT) \
             - pv[2:] * pv[1:-1] / cfg.Q[2:]
-        dpv_last = pv[-2] ** 2 / cfg.Q[-2] - cfg.kT
+        dpv_last = pv[-2] ** 2 / cfg.Q[-2] - kT
         dpvdt = jnp.concatenate([dpv0[None], dpv_mid, dpv_last[None]])
         return NVTState(v=dvdt, q=v, pv=dpvdt)
 
-    def step(params, s, masses_local):
-        d0 = nhc_derivs(params, s, masses_local)
+    def step(params, s, masses_local, kT):
+        d0 = nhc_derivs(params, s, masses_local, kT)
         half = jax.tree_util.tree_map(
             lambda y, k_: y + 0.5 * cfg.dt * k_, s, d0)
         q_new = s.q + half.v * cfg.dt
         mid = half._replace(q=q_new)
-        d1 = nhc_derivs(params, mid, masses_local)
+        d1 = nhc_derivs(params, mid, masses_local, kT)
         new = jax.tree_util.tree_map(
             lambda y, k_: y + 0.5 * cfg.dt * k_, mid, d1)
         return new._replace(q=q_new)
 
-    def shard_body(params, states, masses_local, g_target):
+    def shard_body(params, states, masses_local, g_target, kT):
         # states: (R/dp, N/sp, ...) local block; vmap over local replicas
         def one_replica(s):
             def scan_f(carry, _):
-                return step(params, carry, masses_local), None
+                return step(params, carry, masses_local, kT), None
             final, _ = jax.lax.scan(scan_f, s, None, length=cfg.n_steps)
             return final
 
@@ -163,11 +164,12 @@ def make_sharded_epoch(pair_model, cfg, mesh, rdf_range=None, nbins=64):
     state_spec = NVTState(v=P("dp", "sp"), q=P("dp", "sp"), pv=P("dp"))
     body = shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(), state_spec, P("sp"), P()),
+        in_specs=(P(), state_spec, P("sp"), P(), P()),
         out_specs=(P(), state_spec))
 
-    def loss_fn(params, states, masses, g_target):
-        loss, finals = body(params, states, masses, g_target)
+    def loss_fn(params, states, masses, g_target, kT=None):
+        kT_val = jnp.asarray(cfg.kT if kT is None else kT)
+        loss, finals = body(params, states, masses, g_target, kT_val)
         return loss, finals
 
     return body, loss_fn

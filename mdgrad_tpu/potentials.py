@@ -234,14 +234,17 @@ class CubicSpline(PairPotentialBase):
 
 
 def boltzmann_inversion_spline(rdf_range, rdf, kT=1.0, eps=1e-30):
-    """-kT log g(r) spline (reference potentials.py:96-119).
+    """-kT log g(r) spline: the Boltzmann-inverted pair potential.
 
-    Returns a :class:`CubicSpline`; NaN/inf from log(0) are clamped the way
-    the drivers do with ``nan_to_num`` (reference fit_rdf_gnn.py:267).
+    Note: the reference class stores +kT log g (potentials.py:114) while
+    its pretraining code uses -kT log g (fit_rdf_gnn.py:264); this
+    function matches its name (and the physics), i.e. the pretraining
+    convention.  NaN/inf from log(0) are clamped the way the drivers do
+    with ``nan_to_num`` (reference fit_rdf_gnn.py:267).
     """
     g = np.asarray(rdf, dtype=np.float64)
-    u = kT * np.log(np.maximum(g, eps))
-    u = np.nan_to_num(u, neginf=u[np.isfinite(u)].min() if
+    u = -kT * np.log(np.maximum(g, eps))
+    u = np.nan_to_num(u, posinf=u[np.isfinite(u)].max() if
                       np.isfinite(u).any() else 0.0)
     return CubicSpline(np.asarray(rdf_range), u)
 

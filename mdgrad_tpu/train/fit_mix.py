@@ -23,6 +23,7 @@ from ..md import NoseHooverChain, Simulation
 from ..observables import rdf as rdf_obs_cls
 from ..nn import PairMLP
 from ..data.registry import number_density_unit_len
+from .. import units
 
 
 def mix_system(system, type1_composition=0.5, rng=None):
@@ -44,7 +45,8 @@ def build_mixture(size=4, rho=0.845, T=1.2, x=0.5, cutoff=2.5,
     """System + ground-truth Stack of 3 species-restricted LJ potentials."""
     L = number_density_unit_len(rho, 4)
     system = System.from_lattice("fcc", size, L)
-    system.set_temperature(T, rng=rng)
+    # T is reduced (energy units) in the mixture workloads
+    system.set_temperature(T / units.kB, rng=rng)
     system, idx1, idx2 = mix_system(system, x, rng=rng)
     pairs = {
         "pot11": (pot_zoo.LennardJones(1.0, sigmas[0]), (idx1, idx1)),
@@ -79,7 +81,7 @@ def fit_mix(size=3, rho=0.845, T=1.2, x=0.5, n_epochs=3, tau=21, dt=0.005,
         size, rho, T, x, cutoff, rng=rng)
 
     # --- ground-truth targets ------------------------------------------
-    integ = NoseHooverChain(target_stack, system, T=T, Q=50.0,
+    integ = NoseHooverChain(target_stack, system, T=T / units.kB, Q=50.0,
                             num_chains=5, adjoint=False,
                             topology_update_freq=10)
     sim = Simulation(system, integ)
@@ -112,9 +114,10 @@ def fit_mix(size=3, rho=0.845, T=1.2, x=0.5, n_epochs=3, tau=21, dt=0.005,
     })
     fit_system = System(system.get_positions(), system.get_cell(),
                         numbers=system.numbers, masses=system.masses)
-    fit_system.set_temperature(T, rng=rng)
-    integ2 = NoseHooverChain(model, fit_system, T=T, Q=50.0, num_chains=5,
-                             adjoint=True, topology_update_freq=10)
+    fit_system.set_temperature(T / units.kB, rng=rng)
+    integ2 = NoseHooverChain(model, fit_system, T=T / units.kB, Q=50.0,
+                             num_chains=5, adjoint=True,
+                             topology_update_freq=10)
     sim2 = Simulation(fit_system, integ2)
     params = sim2.params
     ode = sim2.epoch_fn(dt, tau)

@@ -47,6 +47,16 @@ def get_temp(T_start, T_equil, n_epochs, i, anneal_rate):
             + T_equil)
 
 
+def registry_T_kelvin(entry):
+    """Registry temperatures are Kelvin for physical-units targets and
+    kT in energy units for reduced-units targets (the reference passes
+    the latter straight into its kB-multiplying thermostat from drivers
+    that work in reduced units); convert to the Kelvin API uniformly."""
+    from .. import units as u
+    T = entry["T"]
+    return T / u.kB if entry.get("reduced_units") else T
+
+
 def get_system(data_tag, size, registry=None, rng=None):
     """Lattice-initialized System for a registry entry
     (parity: reference fit_rdf_gnn.py:61-82)."""
@@ -61,7 +71,7 @@ def get_system(data_tag, size, registry=None, rng=None):
     sys = System.from_lattice(entry["cell"], size, L,
                               symbol=entry["element"])
     sys.masses = np.full(sys.get_number_of_atoms(), entry["mass"])
-    sys.set_temperature(entry["T"], rng=rng)
+    sys.set_temperature(registry_T_kelvin(entry), rng=rng)
     return sys
 
 
@@ -127,18 +137,19 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
     for tag in all_sys:
         entry = registry[tag]
         system = get_system(tag, size, registry, rng=rng)
+        T_kelvin = registry_T_kelvin(entry)
         if str(sys_params.get("anneal_flag")) == "True":
             system.set_temperature(assignments["start_T"], rng=rng)
         prior_int = PairPotentials(system, prior, cutoff=cutoff)
         if sys_params.get("pair_flag"):
             nn_int = PairPotentials(system, net, cutoff=cutoff)
         elif sys_params.get("tpair_flag"):
-            nn_int = TPairPotentials(system, net, entry["T"], cutoff=cutoff)
+            nn_int = TPairPotentials(system, net, T_kelvin, cutoff=cutoff)
         else:
             nn_int = GNNPotentials(system, net, cutoff=cutoff)
         stack = Stack({"nn": nn_int, "pair": prior_int})
         integ = NoseHooverChain(
-            stack, system, T=entry["T"], Q=50.0, num_chains=5, adjoint=True,
+            stack, system, T=T_kelvin, Q=50.0, num_chains=5, adjoint=True,
             topology_update_freq=sys_params.get("topology_update_freq", 1))
         sim = Simulation(system, integ)
         if params is None:
@@ -158,14 +169,24 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
             "all_sys": all_sys, "registry": registry}
 
 
-def _make_epoch_loss(sim, obs, g_target, system, tau, dt, frame_skip=20):
-    """One state point's differentiable epoch objective."""
+def _make_epoch_loss(sim, obs, g_target, system, tau, dt, frame_skip=20,
+                     kT_override=None):
+    """One state point's differentiable epoch objective.
+
+    kT_override grafts this state point's own kT into the (shared)
+    TPairPotentials params -- build_fit shares one params pytree across
+    state points, so the frozen params['nn']['kT'] leaf would otherwise be
+    the FIRST tag's temperature for every system."""
     ode = sim.epoch_fn(dt, tau)
     rho = system.get_number_of_atoms() / system.get_volume()
     rrange = jnp.linspace(float(obs.bins[0]), float(obs.bins[-1]),
                           obs.nbins)
 
     def loss_fn(params, state, aux, ctrl):
+        if kT_override is not None:
+            params = {**params,
+                      "nn": {**params["nn"],
+                             "kT": jnp.asarray(kT_override)}}
         traj, final_aux = ode(params, state, aux, ctrl)
         _, _, g = obs(traj.q[::frame_skip])
         loss = compute_D(g - g_target, rho, rrange)
@@ -250,8 +271,12 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     md_states = []
     for tag, sim, obs, g_t, system in zip(all_sys, sims, observers,
                                           targets, systems):
+        kT_override = None
+        if sys_params.get("tpair_flag"):
+            kT_override = registry_T_kelvin(registry[tag]) * units.kB
         loss_and_grads.append(_make_epoch_loss(
-            sim, obs, g_t, system, tau, _dt_for(tag), frame_skip))
+            sim, obs, g_t, system, tau, _dt_for(tag), frame_skip,
+            kT_override=kT_override))
         md_states.append(sim.initial_state())
 
     loss_log, js_log = [], []
@@ -264,7 +289,7 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
             # temperature annealing (reference fit_rdf_gnn.py:392-399)
             if (str(sys_params.get("anneal_flag")) == "True"
                     and epoch % assignments.get("anneal_freq", 5) == 0):
-                T_equil = registry[tag]["T"]
+                T_equil = registry_T_kelvin(registry[tag])
                 new_T = get_temp(assignments["start_T"], T_equil, n_epochs,
                                  epoch, assignments.get("anneal_rate", 2.0))
                 integ.update_T(new_T)

@@ -30,7 +30,7 @@ from ..md import NoseHooverChain, Simulation
 from ..observables import rdf as rdf_obs_cls, vacf as vacf_obs_cls
 from ..nn import PairMLP
 from ..data import pair_data_dict, get_exp_rdf
-from .fit_rdf import get_system
+from .fit_rdf import get_system, registry_T_kelvin
 
 TARGET_POT_CLASSES = {
     "LennardJones": pot_zoo.LennardJones,
@@ -59,8 +59,8 @@ def get_target_obs(system, entry, n_sim, rdf_range, nbins, t_range,
     (parity: reference fit_rdf_pair.py:159-204)."""
     target_pot = resolve_target_pot(entry["target_pot"])
     pot_int = PairPotentials(system, target_pot, cutoff=2.5)
-    integ = NoseHooverChain(pot_int, system, T=entry["T"], Q=50.0,
-                            num_chains=5, adjoint=False)
+    integ = NoseHooverChain(pot_int, system, T=registry_T_kelvin(entry),
+                            Q=50.0, num_chains=5, adjoint=False)
     sim = Simulation(system, integ)
     robs = rdf_obs_cls(system, nbins=nbins, r_range=rdf_range)
     vobs = vacf_obs_cls(system, t_range=t_range)
@@ -150,7 +150,8 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             "pair": PairPotentials(system, prior, cutoff=2.5),
         })
         integ = NoseHooverChain(
-            stack, system, T=registry[tag]["T"], Q=50.0, num_chains=5,
+            stack, system, T=registry_T_kelvin(registry[tag]), Q=50.0,
+            num_chains=5,
             adjoint=True,
             topology_update_freq=sys_params.get("topology_update_freq", 1))
         sim = Simulation(system, integ)

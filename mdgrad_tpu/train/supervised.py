@@ -47,12 +47,14 @@ def build_mse_loss(loss_coef):
             if targ.ndim >= 2 and "atom_mask" in batch:
                 valid = valid & batch["atom_mask"][
                     (...,) + (None,) * (targ.ndim - 2)]
-            diff = jnp.where(valid, pred - jnp.where(valid, targ, 0.0),
-                             0.0)
             if "batch_weight" in batch:
+                # batch-fill duplicates must vanish from numerator AND
+                # denominator or partial batches deflate the loss
                 w = batch["batch_weight"].reshape(
                     (-1,) + (1,) * (targ.ndim - 1))
-                diff = diff * w
+                valid = valid & (w > 0)
+            diff = jnp.where(valid, pred - jnp.where(valid, targ, 0.0),
+                             0.0)
             loss = loss + coef * (diff ** 2).sum() / \
                 jnp.maximum(valid.sum(), 1)
         return loss

@@ -77,7 +77,8 @@ def test_angle_distribution_tetrahedral():
     sys_ = System(xyz, np.diag([10.0] * 3))
     obs = angle_distribution(sys_, nbins=64, angle_range=(0.5, np.pi),
                              cutoff=1.5, k_max=4)
-    bins, count, (angles, mask) = obs(jnp.asarray(xyz))
+    bins, count, (angles, mask, overflow) = obs(jnp.asarray(xyz))
+    assert not bool(overflow)
     got = np.asarray(angles)[np.asarray(mask)]
     # center atom contributes C(4,2)=6 tetrahedral angles of 109.47 deg
     tet = np.full(6, np.arccos(-1 / 3))
