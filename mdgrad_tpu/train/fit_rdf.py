@@ -224,7 +224,7 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     # Boltzmann-inversion pretraining for pair models
     # (reference fit_rdf_gnn.py:254-349)
     if sys_params.get("pair_flag") or sys_params.get("tpair_flag"):
-        T_list = [registry[t]["T"] for t in all_sys]
+        T_list = [registry_T_kelvin(registry[t]) for t in all_sys]
         rr_lo = min(registry[t]["start"] for t in all_sys)
         rr_hi = max(registry[t]["end"] for t in all_sys)
         pre_rrange = np.linspace(rr_lo + 0.5, rr_hi, 500)

@@ -31,6 +31,7 @@ from ..observables import rdf as rdf_obs_cls, vacf as vacf_obs_cls
 from ..nn import PairMLP
 from ..data import pair_data_dict, get_exp_rdf
 from .fit_rdf import get_system, registry_T_kelvin
+from .pretrain import boltzmann_inversion_pretrain
 
 TARGET_POT_CLASSES = {
     "LennardJones": pot_zoo.LennardJones,
@@ -163,6 +164,25 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             target_nsim=sys_params.get("target_nsim", 8), rng=rng))
         systems.append(system)
         sims.append(sim)
+
+    # optional Boltzmann-inversion pretraining of the pairMLP against the
+    # targets (the reference only pretrains in its GNN driver,
+    # fit_rdf_gnn.py:254-298; the same warm start stabilizes multi-state
+    # pair fits here)
+    if sys_params.get("pretrain_iters", 0):
+        # pretrain expects Kelvin (it multiplies kB itself); for reduced-
+        # units entries registry_T_kelvin(T)*kB == the reduced kT, exact
+        T_list = [registry_T_kelvin(registry[t]) for t in all_sys]
+        r_lo = min(registry[t].get("start", 0.75) for t in all_sys)
+        pre_rrange = np.linspace(max(r_lo, 0.8 * assignments["sigma"]),
+                                 cutoff, 400)
+        params["pairnn"] = boltzmann_inversion_pretrain(
+            net, params["pairnn"], prior, params["pair"],
+            [o[0] for o in observers], [o[1] for o in observers],
+            T_list, rrange=pre_rrange,
+            n_iters=sys_params["pretrain_iters"])
+        for sim in sims:
+            sim.params = params
 
     # optimizer on the MLP only (reference fit_rdf_pair.py:404)
     def label(path, _):

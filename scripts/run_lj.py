@@ -26,6 +26,7 @@ def main():
     p.add_argument("-update_freq", type=int, default=1)
     p.add_argument("-vacf_weight", type=float, default=0.0)
     p.add_argument("-lr", type=float, default=2e-3)
+    p.add_argument("-pretrain", type=int, default=1000)
     p.add_argument("-nepochs", type=int, default=300)
     p.add_argument("-size", type=int, default=4)
     p.add_argument("--dry_run", action="store_true")
@@ -42,11 +43,12 @@ def main():
         "size": args.size, "cutoff": args.cutoff, "t_range": 50,
         "n_epochs": args.nepochs, "n_sim": 10, "data": args.data,
         "val": args.val, "topology_update_freq": args.update_freq,
+        "pretrain_iters": args.pretrain,
     }
     if args.dry_run:
         assignments["opt_freq"] = 21
         sys_params.update(n_epochs=2, n_sim=1, size=2, t_range=10,
-                          target_nsim=4, frame_skip=5)
+                          target_nsim=4, frame_skip=5, pretrain_iters=30)
 
     from mdgrad_tpu.train.fit_rdf_pair import fit_lj
     for i in range(args.nruns):
