@@ -108,7 +108,12 @@ class rdf:
 class vacf:
     """Velocity autocorrelation over lag windows
     (parity: reference observable.py:153-163).  Input: (T, N, 3) velocity
-    trajectory; output: (t_range,) correlation, differentiable."""
+    trajectory; output: (t_range,) correlation, differentiable.
+
+    TPU design: one (T, T) gram matmul over the flattened (N*3) axis on
+    the MXU, then a diagonal-band gather -- constant-size jaxpr in
+    ``t_range`` (the reference, and our round-1 version, unrolled a Python
+    loop over lags: t_range jaxpr copies and a compile-time trap)."""
 
     def __init__(self, system, t_range):
         check_system(system)
@@ -116,10 +121,19 @@ class vacf:
 
     def __call__(self, vel):
         vel = jnp.asarray(vel)
-        out = [(vel * vel).mean()[None]]
-        for t in range(1, self.t_range):
-            out.append((vel[t:] * vel[:-t]).mean()[None])
-        return jnp.concatenate(out)
+        T = vel.shape[0]
+        tr = self.t_range
+        S = vel.reshape(T, -1)
+        # gram[i, j] = v_i . v_j ; lag-t correlation = mean of the t-th
+        # superdiagonal band.  HIGHEST precision: correlation decays to
+        # ~1e-3 of C(0) and bf16 accumulation would swamp the tail.
+        gram = jnp.matmul(S, S.T, precision=jax.lax.Precision.HIGHEST)
+        padded = jnp.pad(gram, ((0, 0), (0, tr)))
+        rows = jnp.arange(T)[:, None]
+        band = padded[rows, rows + jnp.arange(tr)[None, :]]  # (T, t_range)
+        valid = rows + jnp.arange(tr)[None, :] < T
+        denom = valid.sum(0) * S.shape[1]
+        return (band * valid).sum(0) / denom
 
 
 def compute_angle(xyz, angle_list, cell, N):

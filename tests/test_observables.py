@@ -102,3 +102,27 @@ def test_compute_dihe_planar():
     dihes = jnp.asarray([[0, 1, 2, 3]])
     cos_phi = compute_dihe(xyz, dihes)
     assert abs(abs(float(cos_phi[0, 0])) - 1.0) < 1e-5
+
+
+def test_vacf_matches_loop_reference():
+    """Vectorized lag-matrix VACF == the naive per-lag loop."""
+    sys_ = System(np.zeros((8, 3)), np.diag([10.0] * 3))
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((37, 8, 3)))
+    t_range = 9
+    out = np.asarray(vacf(sys_, t_range)(v))
+    ref = [float((v * v).mean())]
+    for t in range(1, t_range):
+        ref.append(float((v[t:] * v[:-t]).mean()))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_vacf_long_lag_compiles_fast():
+    """t_range=256 must not unroll into 256 jaxpr copies (VERDICT r1 #7)."""
+    import time
+    sys_ = System(np.zeros((16, 3)), np.diag([10.0] * 3))
+    obs = vacf(sys_, t_range=256)
+    v = jnp.zeros((300, 16, 3))
+    t0 = time.time()
+    jax.jit(obs.__call__).lower(v).compile()
+    assert time.time() - t0 < 20.0
