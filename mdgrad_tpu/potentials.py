@@ -159,19 +159,55 @@ class ModifiedMorse(PairPotentialBase):
 
 
 class PairTab(PairPotentialBase):
-    """Learnable tabulated potential on a uniform grid, linear interp
-    (reference potentials.py:152-160 used xitorch Interp1D)."""
+    """Learnable tabulated potential on a uniform grid
+    (reference potentials.py:152-160 used xitorch cubic ``Interp1D``).
 
-    def __init__(self, nbins=1000, rc=2.5):
-        self.nbins, self.rc = nbins, rc
+    Default ``kind='cubic'`` is a natural cubic spline: second
+    derivatives at the knots are ``M = B @ tab`` where ``B`` folds the
+    (static, grid-only) tridiagonal solve into one dense matrix
+    precomputed at init -- per call it is a single (nbins, nbins)
+    matmul on the MXU plus a Hermite-segment evaluation, so dU/dr is
+    continuous across knots (the round-1 linear interp had force kinks).
+    ``kind='linear'`` keeps the round-1 behavior."""
+
+    def __init__(self, nbins=1000, rc=2.5, kind="cubic"):
+        self.nbins, self.rc, self.kind = nbins, rc, kind
         self.x = jnp.linspace(0.0, rc, nbins)
+        self.h = rc / (nbins - 1)
+        if kind == "cubic":
+            h = self.h
+            m = nbins - 2  # interior knots; natural BC M_0 = M_{n-1} = 0
+            T = (np.diag(np.full(m, 2 * h / 3))
+                 + np.diag(np.full(m - 1, h / 6), 1)
+                 + np.diag(np.full(m - 1, h / 6), -1))
+            D = np.zeros((m, nbins))
+            for i in range(m):
+                D[i, i:i + 3] = [1.0 / h, -2.0 / h, 1.0 / h]
+            B = np.zeros((nbins, nbins))
+            B[1:-1] = np.linalg.solve(T, D)
+            self._B = jnp.asarray(B, dtype=jnp.float32)
+        elif kind != "linear":
+            raise ValueError(f"unknown interpolation kind {kind!r}")
 
     def init_params(self):
         return {"tab": jnp.zeros(self.nbins)}
 
     def __call__(self, params, r):
         shape = r.shape
-        u = jnp.interp(r.reshape(-1), self.x, params["tab"])
+        rf = jnp.clip(r.reshape(-1), 0.0, self.rc)
+        y = params["tab"]
+        if self.kind == "linear":
+            return jnp.interp(rf, self.x, y).reshape(shape)
+        # small geometry-free matmul, but values feed forces: keep f32
+        M = jnp.matmul(self._B, y, precision=jax.lax.Precision.HIGHEST)
+        h = self.h
+        i = jnp.clip((rf / h).astype(jnp.int32), 0, self.nbins - 2)
+        t = rf - self.x[i]
+        yi, yj, Mi, Mj = y[i], y[i + 1], M[i], M[i + 1]
+        u = (yi
+             + t * ((yj - yi) / h - h / 6.0 * (2.0 * Mi + Mj))
+             + t ** 2 * Mi / 2.0
+             + t ** 3 * (Mj - Mi) / (6.0 * h))
         return u.reshape(shape)
 
 

@@ -108,3 +108,29 @@ def test_toy2d_and_leps_shapes():
     for m in (pot.Toy2d(), pot.LEPS()):
         u = m({}, jnp.asarray([[0.5, 0.5], [1.0, 1.0]]))
         assert u.shape == (2,)
+
+
+def test_pairtab_cubic_interpolates_smooth_function():
+    """Cubic PairTab nails a smooth function far better than linear and
+    has continuous dU/dr across knots (reference used xitorch cubic
+    Interp1D, potentials.py:152-160)."""
+    from mdgrad_tpu.potentials import PairTab
+    rc = 2.5
+    tab_c = PairTab(nbins=64, rc=rc, kind="cubic")
+    tab_l = PairTab(nbins=64, rc=rc, kind="linear")
+    f = lambda r: np.sin(3 * r) * np.exp(-r)
+    y = jnp.asarray(f(np.asarray(tab_c.x)))
+    r = jnp.asarray(np.linspace(0.05, rc - 0.05, 400))
+    err_c = np.abs(np.asarray(tab_c({"tab": y}, r)) - f(np.asarray(r))).max()
+    err_l = np.abs(np.asarray(tab_l({"tab": y}, r)) - f(np.asarray(r))).max()
+    assert err_c < err_l / 10
+    assert err_c < 2e-4
+    # force continuity at a knot: dU/dr from both sides agrees
+    du = jax.vmap(jax.grad(lambda rr: tab_c({"tab": y}, rr[None])[0]))
+    x_knot = float(tab_c.x[20])
+    eps = 1e-4
+    left, right = np.asarray(du(jnp.asarray([x_knot - eps, x_knot + eps])))
+    assert abs(left - right) < 5e-3
+    # gradients flow into the table
+    g = jax.grad(lambda t: (tab_c({"tab": t}, r) ** 2).sum())(y)
+    assert np.abs(np.asarray(g)).max() > 0
