@@ -73,17 +73,51 @@ def pad_batch(items, n_max=None, p_max=None):
     return out
 
 
+class PrioritizedSampler:
+    """Weighted with-replacement index sampler for priority training.
+
+    The reference only ships the hook half of this
+    (``UpdatePrioritiesHook``, /root/reference/nff/train/hooks/
+    scheduling.py:299-310 — its sampler class is absent from the repo);
+    this supplies the sampler so the hook is functional: weights start
+    uniform, `update_weights` bumps per-example priorities (e.g. to the
+    example's loss), and sampling draws ∝ weight^alpha.
+    """
+
+    def __init__(self, n, alpha=1.0, seed=0, min_weight=1e-6):
+        self.weights = np.ones(n, dtype=np.float64)
+        self.alpha = alpha
+        self.min_weight = min_weight
+        self.rng = np.random.default_rng(seed)
+
+    def update_weights(self, idx, priorities):
+        idx = np.asarray(idx, dtype=int).reshape(-1)
+        pri = np.maximum(np.asarray(priorities, dtype=np.float64
+                                    ).reshape(-1), self.min_weight)
+        self.weights[idx] = pri
+
+    def sample(self, n_draw):
+        p = self.weights ** self.alpha
+        p = p / p.sum()
+        return self.rng.choice(len(self.weights), size=n_draw, p=p)
+
+
 class DataLoader:
     """Minimal shuffling batch iterator with fixed padded shapes.
 
     Global (n_max, p_max) are computed once over the dataset so every batch
-    compiles to the same XLA program.
+    compiles to the same XLA program.  When ``sampler`` (a
+    :class:`PrioritizedSampler`) is given, epoch indices are drawn from it
+    with replacement and each batch carries ``_idx`` so
+    ``UpdatePrioritiesHook`` can feed priorities back.
     """
 
-    def __init__(self, dataset, batch_size, shuffle=True, seed=0):
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0,
+                 sampler=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.sampler = sampler
         self.rng = np.random.default_rng(seed)
         self.n_max = max(len(np.asarray(x))
                          for x in dataset.props["nxyz"])
@@ -97,18 +131,24 @@ class DataLoader:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(idx)
+        if self.sampler is not None:
+            idx = self.sampler.sample(len(self.dataset))
+        else:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                self.rng.shuffle(idx)
         for s in range(0, len(idx), self.batch_size):
             chunk = idx[s:s + self.batch_size]
             items = [self.dataset[int(i)] for i in chunk]
+            ids = list(chunk)
             # repeat last item to keep the batch full (masked out via
             # a batch weight)
             weight = np.ones(self.batch_size, dtype=np.float32)
             while len(items) < self.batch_size:
                 weight[len(items)] = 0.0
                 items.append(items[-1])
+                ids.append(ids[-1])
             batch = pad_batch(items, self.n_max, self.p_max)
             batch["batch_weight"] = weight
+            batch["_idx"] = np.asarray(ids, dtype=np.int32)
             yield batch

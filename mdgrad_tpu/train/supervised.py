@@ -18,6 +18,7 @@ without recompiling; checkpoints are plain pickles of numpy-ified pytrees.
 
 import os
 import csv
+import json
 import glob
 import pickle
 import time
@@ -86,7 +87,7 @@ class Hook:
     def on_epoch_begin(self, trainer):
         pass
 
-    def on_batch_end(self, trainer, loss):
+    def on_batch_end(self, trainer, loss, batch=None):
         pass
 
     def on_validation_end(self, trainer, val_loss):
@@ -115,7 +116,7 @@ class MaxStepHook(Hook):
     def __init__(self, max_steps):
         self.max_steps = max_steps
 
-    def on_batch_end(self, trainer, loss):
+    def on_batch_end(self, trainer, loss, batch=None):
         if trainer.step >= self.max_steps:
             trainer.stop = True
 
@@ -219,6 +220,104 @@ class ExponentialDecayHook(Hook):
 
     def on_epoch_end(self, trainer):
         trainer.set_lr(max(trainer.get_lr() * self.gamma, self.min_lr))
+
+
+class LRScheduleHook(Hook):
+    """Set the LR from an arbitrary schedule callable
+    (reference hooks/scheduling.py:162-208 wrapped a torch
+    ``_LRScheduler``; the optax-idiomatic equivalent is a schedule
+    ``count -> lr``, e.g. ``optax.cosine_decay_schedule``).  With
+    ``each_step`` the count is ``trainer.step``, else ``trainer.epoch``."""
+
+    def __init__(self, schedule, each_step=False):
+        self.schedule = schedule
+        self.each_step = each_step
+
+    def on_epoch_begin(self, trainer):
+        if not self.each_step:
+            trainer.set_lr(float(self.schedule(trainer.epoch)))
+
+    def on_batch_end(self, trainer, loss, batch=None):
+        if self.each_step:
+            trainer.set_lr(float(self.schedule(trainer.step)))
+
+
+class UpdatePrioritiesHook(Hook):
+    """Feed per-batch priorities back into a
+    :class:`mdgrad_tpu.data.loader.PrioritizedSampler`
+    (reference hooks/scheduling.py:299-310).  ``priority_fn(batch, loss)``
+    returns one priority per example in the batch (default: the batch
+    loss broadcast over its examples)."""
+
+    def __init__(self, prioritized_sampler, priority_fn=None):
+        self.sampler = prioritized_sampler
+        self.priority_fn = priority_fn
+
+    def on_batch_end(self, trainer, loss, batch=None):
+        if batch is None or "_idx" not in batch:
+            return
+        idx = np.asarray(batch["_idx"])
+        if self.priority_fn is not None:
+            pri = np.asarray(self.priority_fn(batch, loss)).reshape(-1)
+        else:
+            pri = np.full(len(idx), float(loss))
+        self.sampler.update_weights(idx, pri)
+
+
+class TensorboardHook(Hook):
+    """Scalar logging to TensorBoard event files
+    (reference hooks/logging.py:192-290 via tensorboardX).  Uses
+    ``torch.utils.tensorboard`` when available, else falls back to a
+    JSONL scalar log in the same directory (zero extra deps)."""
+
+    def __init__(self, log_path, every_n_epochs=1, log_train_loss=True,
+                 log_validation_loss=True, log_learning_rate=True):
+        os.makedirs(log_path, exist_ok=True)
+        self.log_path = log_path
+        self.every_n_epochs = every_n_epochs
+        self.log_train_loss = log_train_loss
+        self.log_validation_loss = log_validation_loss
+        self.log_learning_rate = log_learning_rate
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.writer = SummaryWriter(log_path)
+            self._jsonl = None
+        except Exception:
+            self.writer = None
+            self._jsonl = os.path.join(log_path, "scalars.jsonl")
+
+    def _scalar(self, tag, value, step):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, step)
+        else:
+            with open(self._jsonl, "a") as f:
+                f.write(json.dumps(
+                    {"tag": tag, "value": float(value), "step": step}) + "\n")
+
+    def on_epoch_end(self, trainer):
+        if trainer.epoch % self.every_n_epochs:
+            return
+        if self.log_train_loss:
+            self._scalar("train/loss", trainer.last_train_loss,
+                         trainer.epoch)
+        if self.log_learning_rate:
+            self._scalar("train/learning_rate", trainer.get_lr(),
+                         trainer.epoch)
+
+    def on_validation_end(self, trainer, val_loss):
+        if self.log_validation_loss and \
+                trainer.epoch % self.every_n_epochs == 0:
+            self._scalar("train/val_loss", val_loss, trainer.epoch)
+
+    def _close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+    def on_train_ends(self, trainer):
+        self._close()
+
+    def on_train_failed(self, trainer):
+        self._close()
 
 
 class PrintingHook(Hook):
@@ -403,7 +502,7 @@ class Trainer:
                     self.step += 1
                     losses.append(float(loss))
                     for h in self.hooks:
-                        h.on_batch_end(self, float(loss))
+                        h.on_batch_end(self, float(loss), batch)
                     if self.stop:
                         break
                 self.last_train_loss = float(np.mean(losses))

@@ -110,7 +110,7 @@ def test_schnet_trains_on_lj_data(tmp_path):
     class Tracker:
         def on_train_begin(self, t): pass
         def on_epoch_begin(self, t): pass
-        def on_batch_end(self, t, l): pass
+        def on_batch_end(self, t, l, batch=None): pass
         def on_epoch_end(self, t): pass
         def on_train_ends(self, t): pass
         def on_train_failed(self, t): pass
@@ -247,3 +247,78 @@ def test_hessian_utilities():
     # one mode at sqrt(2k/m) (relative coordinate), rest zero
     np.testing.assert_allclose(float(freqs.max()), np.sqrt(2 * k),
                                rtol=1e-5)
+
+
+def test_lr_schedule_hook():
+    from mdgrad_tpu.train.supervised import LRScheduleHook
+
+    class FakeTrainer:
+        def __init__(self):
+            self.lr, self.epoch, self.step, self.stop = 1.0, 0, 0, False
+        def get_lr(self):
+            return self.lr
+        def set_lr(self, v):
+            self.lr = float(v)
+
+    t = FakeTrainer()
+    h = LRScheduleHook(lambda e: 0.1 * 0.5 ** e)
+    for e in range(3):
+        t.epoch = e
+        h.on_epoch_begin(t)
+    assert t.lr == pytest.approx(0.1 * 0.25)
+    hs = LRScheduleHook(lambda s: 1.0 / (1 + s), each_step=True)
+    t.step = 9
+    hs.on_batch_end(t, 0.0)
+    assert t.lr == pytest.approx(0.1)
+
+
+def test_prioritized_sampler_and_hook():
+    from mdgrad_tpu.data.loader import PrioritizedSampler
+    from mdgrad_tpu.train.supervised import UpdatePrioritiesHook
+
+    smp = PrioritizedSampler(10, seed=0)
+    hook = UpdatePrioritiesHook(smp)
+    batch = {"_idx": np.array([3, 4])}
+    hook.on_batch_end(None, 100.0, batch)
+    assert smp.weights[3] == 100.0 and smp.weights[4] == 100.0
+    draws = smp.sample(2000)
+    frac = np.isin(draws, [3, 4]).mean()
+    assert frac > 0.9  # priority examples dominate sampling
+
+    # custom priority_fn path
+    hook2 = UpdatePrioritiesHook(smp, lambda b, l: np.array([1.0, 2.0]))
+    hook2.on_batch_end(None, 0.0, batch)
+    assert smp.weights[4] == 2.0
+
+
+def test_tensorboard_hook_writes_scalars(tmp_path):
+    from mdgrad_tpu.train.supervised import TensorboardHook
+
+    class FakeTrainer:
+        epoch = 2
+        last_train_loss = 0.5
+        def get_lr(self):
+            return 1e-3
+
+    h = TensorboardHook(str(tmp_path))
+    t = FakeTrainer()
+    h.on_epoch_end(t)
+    h.on_validation_end(t, 0.25)
+    h.on_train_ends(t)
+    files = os.listdir(tmp_path)
+    assert files, "no tensorboard/jsonl output written"
+
+
+def test_loader_with_sampler_carries_idx():
+    from mdgrad_tpu.data.loader import PrioritizedSampler
+    props = {"nxyz": [np.hstack([np.full((4, 1), 3.0),
+                                 np.random.default_rng(i).uniform(0, 5, (4, 3))])
+                      for i in range(6)],
+             "energy": [float(i) for i in range(6)]}
+    ds = Dataset(props)
+    smp = PrioritizedSampler(len(ds), seed=1)
+    smp.update_weights([5], [1e6])
+    dl = DataLoader(ds, batch_size=4, sampler=smp)
+    batches = list(dl)
+    idx = np.concatenate([b["_idx"] for b in batches])
+    assert (idx == 5).mean() > 0.9
