@@ -90,14 +90,50 @@ def generate_topologies(bonds, n_atoms, exclude_14=True):
     }
 
 
-def bonds_from_distances(xyz, cutoff=1.8):
-    """Infer bonds by a distance threshold (the reference uses per-element
-    covalent tables, nff/data/graphs.py:8-102; a scalar cutoff covers the
-    coarse-grained in-repo systems)."""
+# Per-species-pair covalent bond-length thresholds in Angstrom, keyed by
+# (Z_min, Z_max).  Physical data matching the reference's per-element
+# tables (nff/data/graphs.py:8-102: DISTANCETHRESHOLDICT_Z); entries of
+# 0.0 forbid bonding (e.g. Li+ counter-ions).
+COVALENT_CUTOFFS_Z = {
+    (1, 1): 1.00, (1, 3): 1.30, (1, 5): 1.50, (1, 6): 1.30, (1, 7): 1.30,
+    (1, 8): 1.30, (1, 9): 1.30, (1, 11): 1.65, (1, 12): 1.40, (1, 14): 1.65,
+    (1, 16): 1.50, (1, 17): 1.60, (1, 35): 1.60,
+    (3, 6): 0.0, (3, 7): 0.0, (3, 8): 0.0, (3, 9): 0.0, (3, 12): 0.0,
+    (5, 6): 1.70, (5, 7): 1.70, (5, 8): 1.70, (5, 9): 1.70, (5, 11): 1.80,
+    (5, 12): 1.80, (5, 17): 2.10, (5, 35): 2.10,
+    (6, 6): 1.70, (6, 7): 1.80, (6, 8): 1.70, (6, 9): 1.65, (6, 11): 1.80,
+    (6, 12): 1.70, (6, 14): 2.10, (6, 16): 2.20,
+    (7, 8): 1.55, (7, 11): 1.70, (7, 16): 2.00,
+    (8, 8): 1.70, (8, 9): 1.50, (8, 11): 1.70, (8, 12): 1.35, (8, 14): 1.85,
+    (8, 16): 2.00, (8, 17): 1.80, (8, 35): 1.70,
+    (9, 12): 1.35,
+}
+
+
+def pair_cutoff_matrix(species, default=1.8):
+    """(N, N) per-pair bond thresholds from :data:`COVALENT_CUTOFFS_Z`;
+    pairs absent from the table fall back to ``default``."""
+    z = np.asarray(species, dtype=int)
+    n = len(z)
+    thr = np.full((n, n), float(default))
+    for (za, zb), c in COVALENT_CUTOFFS_Z.items():
+        ma, mb = z == za, z == zb
+        thr[np.ix_(ma, mb)] = c
+        thr[np.ix_(mb, ma)] = c
+    return thr
+
+
+def bonds_from_distances(xyz, cutoff=1.8, species=None):
+    """Infer bonds by distance thresholds.  With ``species`` (atomic
+    numbers), per-pair covalent tables are used (parity: reference
+    nff/data/graphs.py:8-102,134-157); otherwise one scalar ``cutoff``
+    covers the coarse-grained in-repo systems."""
     xyz = np.asarray(xyz)
     d = np.linalg.norm(xyz[:, None] - xyz[None, :], axis=-1)
+    thr = cutoff if species is None else pair_cutoff_matrix(
+        species, default=cutoff)
     iu = np.triu(np.ones_like(d, dtype=bool), k=1)
-    i, j = np.nonzero(iu & (d < cutoff))
+    i, j = np.nonzero(iu & (d < thr))
     return np.stack([i, j], axis=-1).astype(np.int32)
 
 

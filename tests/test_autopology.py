@@ -162,3 +162,46 @@ def test_schnet_autopology_staged(auto_setup):
     assert not np.allclose(np.asarray(e1), np.asarray(e2))  # schnet added
     assert f2.shape == (2, n, 3)
     assert np.isfinite(np.asarray(f2)).all()
+
+
+def test_covalent_pair_cutoffs():
+    """Per-species bond tables (reference nff/data/graphs.py:8-102):
+    an O-H pair at 1.1 A bonds (thr 1.3) but an H-H pair at the same
+    distance does not (thr 1.0); Li-C never bonds."""
+    from mdgrad_tpu.data.topology import bonds_from_distances
+    xyz = np.array([[0.0, 0, 0], [1.1, 0, 0]])
+    assert len(bonds_from_distances(xyz, species=[8, 1])) == 1
+    assert len(bonds_from_distances(xyz, species=[1, 1])) == 0
+    xyz2 = np.array([[0.0, 0, 0], [0.5, 0, 0]])
+    assert len(bonds_from_distances(xyz2, species=[3, 6])) == 0
+    # unknown pair falls back to the scalar default
+    assert len(bonds_from_distances(xyz, cutoff=1.8, species=[26, 26])) == 1
+
+
+def test_glue_stack_combines_models():
+    """nn.glue.Stack parity (reference nff/nn/glue.py:4-37)."""
+    import jax.numpy as jnp
+    from mdgrad_tpu.nn import SchNet
+    from mdgrad_tpu.nn.glue import Stack
+
+    mp = {"n_atom_basis": 16, "n_filters": 16, "n_gaussians": 8,
+          "n_convolutions": 1, "cutoff": 3.0}
+    stack = Stack({"a": SchNet(mp), "b": SchNet(mp)})
+    z = jnp.array([6, 6, 8])
+    params = stack.init_params(z)
+    batch = {
+        "z": z[None], "xyz": jnp.asarray(
+            np.random.default_rng(0).uniform(0, 2, (1, 3, 3))),
+        "nbr_idx": jnp.array([[[0, 1], [0, 2], [1, 2]]]),
+        "offsets": jnp.zeros((1, 3, 3)),
+        "nbr_mask": jnp.ones((1, 3), dtype=bool),
+        "atom_mask": jnp.ones((1, 3), dtype=bool)}
+    out = stack.batched_predict(params, batch)
+    ea = stack.models["a"].batched_predict(params["a"], batch)["energy"]
+    eb = stack.models["b"].batched_predict(params["b"], batch)["energy"]
+    np.testing.assert_allclose(np.asarray(out["energy"]),
+                               np.asarray(ea + eb), rtol=1e-6)
+    mean = Stack({"a": stack.models["a"], "b": stack.models["b"]},
+                 mode="mean").batched_predict(params, batch)
+    np.testing.assert_allclose(np.asarray(mean["energy"]),
+                               np.asarray(ea + eb) / 2, rtol=1e-6)
