@@ -221,9 +221,17 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         with open(os.path.join(model_path, "assignments.json"), "w") as f:
             json.dump({k: str(v) for k, v in assignments.items()}, f)
 
+    # checkpoint/resume (SURVEY §5 gap: the reference never persists
+    # optimizer state in its fitting loops)
+    from .checkpoint import FitCheckpointer
+    ckpt = FitCheckpointer(model_path, every=sys_params.get("ckpt_every", 10))
+    resume = ckpt.restore()
+
     # Boltzmann-inversion pretraining for pair models
-    # (reference fit_rdf_gnn.py:254-349)
-    if sys_params.get("pair_flag") or sys_params.get("tpair_flag"):
+    # (reference fit_rdf_gnn.py:254-349); skipped on resume -- the
+    # checkpointed params already contain it
+    if resume is None and (sys_params.get("pair_flag")
+                           or sys_params.get("tpair_flag")):
         T_list = [registry_T_kelvin(registry[t]) for t in all_sys]
         rr_lo = min(registry[t]["start"] for t in all_sys)
         rr_hi = max(registry[t]["end"] for t in all_sys)
@@ -280,7 +288,20 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         md_states.append(sim.initial_state())
 
     loss_log, js_log = [], []
-    for epoch in range(n_epochs):
+    start_epoch = 0
+    if resume is not None:
+        params = jax.device_put(resume["params"])
+        opt_state = jax.tree_util.tree_map(
+            lambda _, new: jnp.asarray(new), opt_state,
+            resume["opt_state"])
+        md_states = [jax.device_put(s) for s in resume["md_states"]]
+        loss_log = list(resume["logs"].get("loss_log", []))
+        js_log = list(resume["logs"].get("js_log", []))
+        start_epoch = resume["epoch"] + 1
+        for sim in sims:
+            sim.params = params
+        log(f"resumed from checkpoint at epoch {resume['epoch']}")
+    for epoch in range(start_epoch, n_epochs):
         total_loss = 0.0
         grads_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
         for j, tag in enumerate(all_sys):
@@ -320,6 +341,8 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
             sim.params = params
         loss_log.append(total_loss)
         log(f"epoch {epoch} | loss: {total_loss:.5f}")
+        ckpt.maybe_save(epoch, params, opt_state, md_states,
+                        {"loss_log": loss_log, "js_log": js_log})
 
     # inference: longer sampling, 800-bin RDF
     # (reference fit_rdf_gnn.py:471-509)

@@ -165,11 +165,16 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         systems.append(system)
         sims.append(sim)
 
+    # checkpoint/resume (SURVEY §5 gap; see train/checkpoint.py)
+    from .checkpoint import FitCheckpointer
+    ckpt = FitCheckpointer(model_path, every=sys_params.get("ckpt_every", 10))
+    resume = ckpt.restore()
+
     # optional Boltzmann-inversion pretraining of the pairMLP against the
     # targets (the reference only pretrains in its GNN driver,
     # fit_rdf_gnn.py:254-298; the same warm start stabilizes multi-state
-    # pair fits here)
-    if sys_params.get("pretrain_iters", 0):
+    # pair fits here); skipped on resume
+    if resume is None and sys_params.get("pretrain_iters", 0):
         # pretrain expects Kelvin (it multiplies kB itself); for reduced-
         # units entries registry_T_kelvin(T)*kB == the reduced kT, exact
         T_list = [registry_T_kelvin(registry[t]) for t in all_sys]
@@ -231,7 +236,20 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         md_states.append(sim.initial_state())
 
     loss_log, obs_log = [], {t: {"rdf": [], "vacf": []} for t in all_sys}
-    for epoch in range(n_epochs):
+    start_epoch = 0
+    if resume is not None:
+        params = jax.device_put(resume["params"])
+        opt_state = jax.tree_util.tree_map(
+            lambda _, new: jnp.asarray(new), opt_state,
+            resume["opt_state"])
+        md_states = [jax.device_put(s) for s in resume["md_states"]]
+        loss_log = list(resume["logs"].get("loss_log", []))
+        obs_log = resume["logs"].get("obs_log", obs_log)
+        start_epoch = resume["epoch"] + 1
+        for sim in sims:
+            sim.params = params
+        log(f"resumed from checkpoint at epoch {resume['epoch']}")
+    for epoch in range(start_epoch, n_epochs):
         total = 0.0
         grads_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
         for j, tag in enumerate(all_sys):
@@ -257,6 +275,8 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             sim.params = params
         loss_log.append(total)
         log(f"epoch {epoch} | loss: {total:.6f}")
+        ckpt.maybe_save(epoch, params, opt_state, md_states,
+                        {"loss_log": loss_log, "obs_log": obs_log})
 
     # recovered potential on a grid (reference plot_pair)
     r_grid = np.linspace(0.3, cutoff, 250)

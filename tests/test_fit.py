@@ -210,3 +210,37 @@ def test_fold_helix_smoke():
     assert len(out["loss_log"]) == 2  # warmup epoch skipped
     assert all(np.isfinite(v) for v in out["loss_log"])
     assert np.isfinite(out["final_frame"]).all()
+
+
+def test_fit_lj_checkpoint_resume(tmp_path):
+    """Fit drivers persist (params, optax state, MD states, logs) and
+    auto-resume mid-run (VERDICT r1 #8; SURVEY §5 gap vs reference)."""
+    from mdgrad_tpu.train.fit_rdf_pair import fit_lj
+    registry = {"ljc": {"rho": 0.845, "T": 1.2, "start": 0.75, "end": 2.5,
+                        "element": "H", "mass": 1.0, "N_unitcell": 4,
+                        "cell": "fcc", "reduced_units": True, "dt": 0.01,
+                        "target_pot": ("LennardJones", {})}}
+    assignments = {"nbins": 32, "opt_freq": 12, "lr": 3e-3, "sigma": 0.9,
+                   "gaussian_width": 0.1, "n_width": 16, "n_layers": 1,
+                   "nonlinear": "SELU", "rdf_weight": 1.0}
+    sys_params = {"size": 2, "cutoff": 2.5, "t_range": 8, "n_epochs": 3,
+                  "n_sim": 1, "data": ["ljc"], "val": None,
+                  "target_nsim": 3, "frame_skip": 4, "ckpt_every": 1}
+    mp = str(tmp_path / "run")
+    out1 = fit_lj(assignments, sys_params, model_path=mp,
+                  registry=registry, rng=np.random.default_rng(2),
+                  log=lambda *a: None)
+    assert len(out1["loss_log"]) == 3
+    assert any(f.startswith("fit-ckpt-") for f in os.listdir(mp))
+
+    # second invocation with more epochs must resume, not restart
+    msgs = []
+    sys_params2 = dict(sys_params, n_epochs=5)
+    out2 = fit_lj(assignments, sys_params2, model_path=mp,
+                  registry=registry, rng=np.random.default_rng(2),
+                  log=lambda *a: msgs.append(" ".join(map(str, a))))
+    assert any("resumed" in m for m in msgs)
+    assert len(out2["loss_log"]) == 5
+    # history prefix is the checkpointed history
+    np.testing.assert_allclose(out2["loss_log"][:3], out1["loss_log"],
+                               rtol=1e-6)
