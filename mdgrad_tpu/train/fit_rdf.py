@@ -170,13 +170,19 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
 
 
 def _make_epoch_loss(sim, obs, g_target, system, tau, dt, frame_skip=20,
-                     kT_override=None):
+                     kT_override=None, angle_extra=None):
     """One state point's differentiable epoch objective.
 
     kT_override grafts this state point's own kT into the (shared)
     TPairPotentials params -- build_fit shares one params pytree across
     state points, so the frozen params['nn']['kT'] leaf would otherwise be
-    the FIRST tag's temperature for every system."""
+    the FIRST tag's temperature for every system.
+
+    angle_extra = (angle_distribution obs, target density, weight) adds an
+    angle-distribution MSE term (the reference ships the water angle
+    targets, scripts/data.py:33-46,1007, and imports angle_distribution in
+    its GNN driver but never wires the loss; here it is a first-class
+    target)."""
     ode = sim.epoch_fn(dt, tau)
     rho = system.get_number_of_atoms() / system.get_volume()
     rrange = jnp.linspace(float(obs.bins[0]), float(obs.bins[-1]),
@@ -188,8 +194,13 @@ def _make_epoch_loss(sim, obs, g_target, system, tau, dt, frame_skip=20,
                       "nn": {**params["nn"],
                              "kT": jnp.asarray(kT_override)}}
         traj, final_aux = ode(params, state, aux, ctrl)
-        _, _, g = obs(traj.q[::frame_skip])
+        frames = traj.q[::frame_skip]
+        _, _, g = obs(frames)
         loss = compute_D(g - g_target, rho, rrange)
+        if angle_extra is not None:
+            aobs, a_target, a_w = angle_extra
+            _, a_count, _ = aobs(frames)
+            loss = loss + a_w * ((a_count - a_target) ** 2).sum()
         last = jax.tree_util.tree_map(lambda x: x[-1], traj)
         return loss, (g, last, final_aux)
 
@@ -275,16 +286,36 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         scale = 1.0 if entry.get("reduced_units") else units.fs
         return sys_params["dt"] * scale
 
+    # optional angle-distribution target (reference angle_data_dict,
+    # scripts/data.py:1007; loss wiring is new -- the reference loads the
+    # CSVs but never trains against them)
+    angle_extras = [None] * len(all_sys)
+    if sys_params.get("angle_flag"):
+        from ..observables import angle_distribution
+        from ..data import angle_data_dict, exp_angle_data
+        a_cut = float(assignments.get("angle_cutoff", 3.7))
+        a_nbins = int(assignments.get("angle_nbins", 64))
+        a_range = (float(assignments.get("angle_start", 0.5)), float(np.pi))
+        a_w = float(assignments.get("angle_weight", 1.0))
+        species = sys_params.get("angle_species", "water")
+        fn = sys_params.get("angle_fn") or angle_data_dict[species][a_cut]
+        a_target = jnp.asarray(exp_angle_data(a_nbins, a_range, fn))
+        for j, system in enumerate(systems):
+            aobs = angle_distribution(
+                system, a_nbins, a_range, cutoff=a_cut,
+                k_max=int(sys_params.get("angle_k_max", 24)))
+            angle_extras[j] = (aobs, a_target, a_w)
+
     loss_and_grads = []
     md_states = []
-    for tag, sim, obs, g_t, system in zip(all_sys, sims, observers,
-                                          targets, systems):
+    for j, (tag, sim, obs, g_t, system) in enumerate(zip(
+            all_sys, sims, observers, targets, systems)):
         kT_override = None
         if sys_params.get("tpair_flag"):
             kT_override = registry_T_kelvin(registry[tag]) * units.kB
         loss_and_grads.append(_make_epoch_loss(
             sim, obs, g_t, system, tau, _dt_for(tag), frame_skip,
-            kT_override=kT_override))
+            kT_override=kT_override, angle_extra=angle_extras[j]))
         md_states.append(sim.initial_state())
 
     loss_log, js_log = [], []
@@ -371,6 +402,13 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         mse = float(((np.asarray(g_obs) - g_sim) ** 2).mean())
         results["final"][tag] = {"r": x, "g_sim": g_sim,
                                  "g_obs": np.asarray(g_obs), "mse": mse}
+        if angle_extras[j] is not None:
+            aobs, a_target, _ = angle_extras[j]
+            _, a_count, _ = aobs(jnp.asarray(np.stack(frames)))
+            results["final"][tag]["angle_sim"] = np.asarray(a_count)
+            results["final"][tag]["angle_obs"] = np.asarray(a_target)
+            results["final"][tag]["angle_mse"] = float(
+                ((np.asarray(a_count) - np.asarray(a_target)) ** 2).mean())
         if model_path:
             np.savetxt(os.path.join(model_path, f"rdf_{tag}.csv"),
                        np.vstack([x, g_sim]), delimiter=",")
