@@ -175,6 +175,12 @@ class GNNPotentials(Interaction):
         n = system.get_number_of_atoms()
         self.select_mask = topology.pair_index_mask(n, None, ex_pairs)
         self.nbr_mode = nbr_mode
+        # diagonal cells: skip storing per-edge offsets -- the GNN
+        # recomputes minimum image elementwise, which removes the
+        # (3, N, N) -> (N, K) offset gather from every topology refresh
+        self.store_offsets = not topology._is_diagonal(self.cell)
+        self.cell_len = (jnp.diag(self.cell)
+                         if not self.store_offsets else None)
         xyz0 = jnp.asarray(system.get_positions())
         if nbr_mode in ("topk", "table"):
             # per-atom capacity: max in-cutoff neighbor count x slack
@@ -200,7 +206,7 @@ class GNNPotentials(Interaction):
         if self.nbr_mode == "table":
             return topology.generate_neighbor_table(
                 xyz, self.build_cutoff, self.cell, self.k_max,
-                self.select_mask)
+                self.select_mask, store_offsets=self.store_offsets)
         if self.nbr_mode == "topk":
             return topology.generate_nbr_list_topk(
                 xyz, self.cutoff, self.cell, self.k_max, self.select_mask,
@@ -213,15 +219,22 @@ class GNNPotentials(Interaction):
 
     def energy(self, params, xyz, aux):
         nbrs = aux
-        offsets_real = jnp.matmul(nbrs.offsets, self.cell,
-                                  precision=jax.lax.Precision.HIGHEST)
         if self.nbr_mode == "table":
+            if self.store_offsets:
+                offsets_real = jnp.matmul(
+                    nbrs.offsets, self.cell,
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                offsets_real = None
             return self.gnn.energy(params, self.z, xyz, nbrs.table,
                                    offsets_real, nbrs.mask,
                                    edge_format="table",
                                    runtime_cutoff=(self.cutoff
                                                    if self.skin > 0
-                                                   else None))
+                                                   else None),
+                                   cell_len=self.cell_len)
+        offsets_real = jnp.matmul(nbrs.offsets, self.cell,
+                                  precision=jax.lax.Precision.HIGHEST)
         return self.gnn.energy(params, self.z, xyz, nbrs.idx, offsets_real,
                                nbrs.mask,
                                directed=(self.nbr_mode == "topk"))

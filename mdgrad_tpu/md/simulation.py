@@ -53,8 +53,15 @@ class Simulation:
                self.integrator.adjoint)
         if key not in self._ode_cache:
             integ = self.integrator
+            can_prime = (getattr(integ, "force_cache", False)
+                         and hasattr(integ, "prime_state")
+                         and self.method in ("verlet", "NH_verlet",
+                                             "langevin"))
 
             def step_fn(params, state, aux, ctrl, i):
+                if can_prime:
+                    return integ.step(params, state, aux, ctrl, i * dt,
+                                      dt, method=self.method, primed=True)
                 return integ.step(params, state, aux, ctrl, i * dt, dt,
                                   method=self.method)
 
@@ -74,6 +81,17 @@ class Simulation:
                                      update_freq=integ.topology_update_freq,
                                      adjoint=bool(integ.adjoint),
                                      reverse_step_fn=reverse_step)
+            if can_prime:
+                # refresh the force cache once at epoch entry: the
+                # in-scan stepper then reads state.f unconditionally (no
+                # XLA conditional inside the scan), and epoch-boundary
+                # restarts never reuse a stale-params force
+                raw_ode = ode
+
+                def ode(params, state, aux, ctrl):
+                    state = integ.prime_state(params, state, aux)
+                    return raw_ode(params, state, aux, ctrl)
+
             self._ode_cache[key] = jax.jit(ode)
         return self._ode_cache[key]
 

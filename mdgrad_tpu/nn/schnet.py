@@ -38,6 +38,20 @@ import flax.linen as fnn
 from .layers import shifted_softplus, gaussian_smearing
 
 
+def _split_matmul(onehot, rf):
+    """onehot @ rf with a bf16 hi/lo split of ``rf`` (f32 accumulate).
+
+    ``onehot`` is 0/1 (exact in bf16); splitting ``rf`` into bf16 high and
+    residual-low halves gives ~f32-gather accuracy from two bf16 MXU
+    passes instead of the 6 passes of ``precision=HIGHEST``.  Plain
+    differentiable code: every adjoint stays a matmul.
+    """
+    hi = rf.astype(jnp.bfloat16)
+    lo = (rf - hi.astype(rf.dtype)).astype(jnp.bfloat16)
+    out = jnp.matmul(onehot, hi, preferred_element_type=jnp.float32)
+    return out + jnp.matmul(onehot, lo, preferred_element_type=jnp.float32)
+
+
 class SchNetConv(fnn.Module):
     """One continuous-filter convolution (reference modules.py:514-575).
 
@@ -53,11 +67,12 @@ class SchNetConv(fnn.Module):
     n_gaussians: int
     cutoff: float
     trainable_gauss: bool = False
+    compute_dtype: typing.Any = jnp.float32
 
     @fnn.compact
     def __call__(self, r, e, idx, mask, n_atoms, aggr_wgt=None,
                  directed=False, edge_format="pairs",
-                 runtime_cutoff=None):
+                 runtime_cutoff=None, onehot=None):
         # edge filter: smearing -> Dense -> ssp -> Dense
         # (reference modules.py:530-541)
         init_off = np.linspace(0.0, self.cutoff, self.n_gaussians)
@@ -79,14 +94,15 @@ class SchNetConv(fnn.Module):
             # cutoff + skin; mask edges by their CURRENT length so stale
             # lists stay exact between rebuilds
             mask = mask & (e.squeeze(-1) < runtime_cutoff)
-        ef = gaussian_smearing(e, offsets, widths)
-        ef = shifted_softplus(fnn.Dense(self.n_gaussians)(ef))
-        ef = fnn.Dense(self.n_filters)(ef)
+        cdt = self.compute_dtype
+        ef = gaussian_smearing(e, offsets, widths).astype(cdt)
+        ef = shifted_softplus(fnn.Dense(self.n_gaussians, dtype=cdt)(ef))
+        ef = fnn.Dense(self.n_filters, dtype=cdt)(ef)
 
         # node filter (reference modules.py:542); optional per-atom
         # aggregation weights for thermodynamic integration (reference
         # modules.py message(): 'r = r * aggr_wgt', graphconvintegration.py)
-        rf = fnn.Dense(self.n_filters)(r)
+        rf = fnn.Dense(self.n_filters, dtype=cdt)(r.astype(cdt))
         if aggr_wgt is not None:
             rf = rf * aggr_wgt[:, None]
 
@@ -94,9 +110,30 @@ class SchNetConv(fnn.Module):
             # (N, K) neighbor-table aggregation: gather senders + reduce
             # over K -- NO scatter (TPU-friendly; see
             # topology.generate_neighbor_table).  e/ef are (N, K, ...).
-            m = mask[..., None].astype(ef.dtype)
-            ext_rf = jnp.concatenate([rf, jnp.zeros_like(rf[:1])], axis=0)
-            agg = (ext_rf[idx] * ef * m).sum(1)
+            if onehot is not None:
+                # gather-as-matmul: senders' features via a one-hot
+                # (N*K, N) matmul -- on TPU this rides the MXU, and every
+                # adjoint (incl. the force's grad-of-grad) stays a matmul
+                # instead of lowering to serialized scatter-adds.  Padded
+                # edges are all-zero one-hot rows, so no extra mask is
+                # needed on this term.  The one-hot operand is exact in
+                # bf16, so a hi/lo split of the features recovers ~f32
+                # gather accuracy in two MXU passes.
+                n, k = idx.shape
+                if cdt == jnp.bfloat16:
+                    g = jnp.matmul(
+                        onehot, rf,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(n, k, -1).astype(cdt)
+                else:
+                    g = _split_matmul(onehot, rf).reshape(n, k, -1)
+                m = mask[..., None].astype(ef.dtype)
+                agg = (g * ef * m).sum(1)
+            else:
+                m = mask[..., None].astype(ef.dtype)
+                ext_rf = jnp.concatenate([rf, jnp.zeros_like(rf[:1])],
+                                         axis=0)
+                agg = (ext_rf[idx] * ef * m).sum(1)
         elif directed:
             # (receiver, sender) rows: one scatter covers both directions
             m = mask[:, None].astype(ef.dtype)
@@ -115,8 +152,10 @@ class SchNetConv(fnn.Module):
                                          num_segments=n_atoms + 1))[:-1]
 
         # update MLP (reference modules.py:543-547)
-        out = shifted_softplus(fnn.Dense(self.n_atom_basis)(agg))
-        return fnn.Dense(self.n_atom_basis)(out)
+        out = shifted_softplus(fnn.Dense(self.n_atom_basis,
+                                         dtype=cdt)(agg.astype(cdt)))
+        return fnn.Dense(self.n_atom_basis,
+                         dtype=cdt)(out).astype(jnp.float32)
 
 
 class _SchNetModule(fnn.Module):
@@ -127,15 +166,28 @@ class _SchNetModule(fnn.Module):
     cutoff: float
     trainable_gauss: bool = False
     readout_keys: typing.Tuple[str, ...] = ("energy",)
+    gather_mode: str = "gather"  # 'gather' | 'onehot' (TPU MXU fast path)
+    compute_dtype: typing.Any = jnp.float32
 
     @fnn.compact
     def __call__(self, z, xyz, idx, offsets_real, mask, aggr_wgt=None,
                  directed=False, edge_format="pairs",
-                 runtime_cutoff=None):
+                 runtime_cutoff=None, cell_len=None):
         n_atoms = z.shape[0]
         # pad-safe gather: sentinel row for index N
         ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
-        if edge_format == "table":
+        if edge_format == "table" and offsets_real is None:
+            # diagonal-cell fast path: minimum image recomputed
+            # elementwise from gathered positions (no stored offsets; the
+            # offset choice is piecewise constant, so stop_gradient keeps
+            # forces exact away from the L/2 boundary)
+            d_raw = xyz[:, None, :] - ext[idx]
+            off = jax.lax.stop_gradient(
+                -(d_raw > 0.5 * cell_len).astype(d_raw.dtype)
+                + (d_raw < -0.5 * cell_len).astype(d_raw.dtype))
+            d = d_raw + off * cell_len
+            e = jnp.sqrt((d ** 2).sum(-1) + 1e-20)[..., None]
+        elif edge_format == "table":
             # idx: (N, K) neighbor table; offsets_real: (N, K, 3)
             d = xyz[:, None, :] - ext[idx] - offsets_real
             e = jnp.sqrt((d ** 2).sum(-1) + 1e-20)[..., None]
@@ -143,14 +195,27 @@ class _SchNetModule(fnn.Module):
             d = ext[idx[:, 0]] - ext[idx[:, 1]] - offsets_real
             e = jnp.sqrt((d ** 2).sum(-1) + 1e-20)[:, None]
 
+        onehot = None
+        if edge_format == "table" and self.gather_mode == "onehot":
+            # shared across convolutions; bf16 one-hot (0/1 exact) keeps
+            # the matmul on the MXU's fast path with f32 accumulation
+            n, k = idx.shape
+            eff_mask = mask
+            if runtime_cutoff is not None:
+                eff_mask = eff_mask & (e.squeeze(-1) < runtime_cutoff)
+            idx_m = jnp.where(eff_mask, idx, n_atoms)
+            onehot = jax.nn.one_hot(idx_m.reshape(-1), n_atoms + 1,
+                                    dtype=jnp.bfloat16)[:, :n_atoms]
+
         r = fnn.Embed(100, self.n_atom_basis)(z)
         for _ in range(self.n_convolutions):
             dr = SchNetConv(self.n_atom_basis, self.n_filters,
                             self.n_gaussians, self.cutoff,
-                            self.trainable_gauss)(r, e, idx, mask, n_atoms,
-                                                  aggr_wgt, directed,
-                                                  edge_format,
-                                                  runtime_cutoff)
+                            self.trainable_gauss,
+                            self.compute_dtype)(r, e, idx, mask, n_atoms,
+                                                aggr_wgt, directed,
+                                                edge_format,
+                                                runtime_cutoff, onehot)
             r = r + dr  # residual stack (reference schnet.py:149-151)
 
         out = {}
@@ -170,6 +235,22 @@ class SchNet:
 
     def __init__(self, modelparams):
         self.cutoff = modelparams["cutoff"]
+        gather_mode = modelparams.get("gather_mode", "auto")
+        if gather_mode == "auto":
+            # one-hot matmul aggregation wins on the MXU; plain gather is
+            # better on CPU (tests) and at large N where the (N*K, N)
+            # one-hot's FLOPs outgrow the gather's bytes
+            try:
+                backend = jax.default_backend()
+            except Exception:  # pragma: no cover - no devices at build
+                backend = "cpu"
+            gather_mode = "onehot" if backend not in ("cpu",) else "gather"
+        self.gather_mode = gather_mode
+        cdt = modelparams.get("compute_dtype", "float32")
+        if isinstance(cdt, str):
+            cdt = {"float32": jnp.float32, "f32": jnp.float32,
+                   "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[cdt]
+        self.compute_dtype = cdt
         self.module = _SchNetModule(
             n_atom_basis=modelparams["n_atom_basis"],
             n_filters=modelparams["n_filters"],
@@ -178,6 +259,8 @@ class SchNet:
             cutoff=modelparams["cutoff"],
             trainable_gauss=modelparams.get("trainable_gauss", False),
             readout_keys=tuple(modelparams.get("readout_keys", ("energy",))),
+            gather_mode=gather_mode,
+            compute_dtype=cdt,
         )
 
     def init_params(self, z, key=None):
@@ -190,19 +273,19 @@ class SchNet:
 
     def atomwise(self, params, z, xyz, idx, offsets_real, mask,
                  aggr_wgt=None, directed=False, edge_format="pairs",
-                 runtime_cutoff=None):
+                 runtime_cutoff=None, cell_len=None):
         """Per-atom readout dict (keys -> (N,))."""
         return self.module.apply({"params": params}, z, xyz, idx,
                                  offsets_real, mask, aggr_wgt, directed,
-                                 edge_format, runtime_cutoff)
+                                 edge_format, runtime_cutoff, cell_len)
 
     def energy(self, params, z, xyz, idx, offsets_real, mask,
                aggr_wgt=None, directed=False, edge_format="pairs",
-               runtime_cutoff=None):
+               runtime_cutoff=None, cell_len=None):
         """Total potential energy (scalar)."""
         return self.atomwise(params, z, xyz, idx, offsets_real, mask,
                              aggr_wgt, directed, edge_format,
-                             runtime_cutoff)["energy"].sum()
+                             runtime_cutoff, cell_len)["energy"].sum()
 
     def energy_and_forces(self, params, z, xyz, idx, offsets_real, mask):
         """(U, F = -dU/dxyz); differentiable for grad-of-grad training."""

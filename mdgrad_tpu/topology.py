@@ -258,7 +258,9 @@ class NeighborTable(typing.NamedTuple):
     """Per-atom fixed-width neighbor table (a JAX pytree).
 
     table:    (N, K) int32 neighbor indices, padded with N
-    offsets:  (N, K, 3) fractional minimum-image offsets of each edge
+    offsets:  (N, K, 3) fractional minimum-image offsets of each edge, or
+              () when the consumer re-derives minimum image on the fly
+              (diagonal cells; see ``store_offsets=False``)
     mask:     (N, K) bool
     overflow: () bool -- some atom exceeded K in-cutoff neighbors
     """
@@ -268,12 +270,22 @@ class NeighborTable(typing.NamedTuple):
     overflow: jnp.ndarray
 
 
-def generate_neighbor_table(xyz, cutoff, cell, k_max, select_mask=None):
-    """(N, K) neighbor table via lax.top_k -- the gather-only edge format.
+def generate_neighbor_table(xyz, cutoff, cell, k_max, select_mask=None,
+                            store_offsets=True):
+    """(N, K) neighbor table -- the gather-only edge format.
 
     Message passing over a table needs NO scatter: agg[i] =
     sum_k f(r[table[i, k]]), a gather + K-axis reduction, which maps to
     the TPU far better than segment-sum scatters over flat edge lists.
+
+    The K-nearest selection uses ``lax.approx_min_k`` at
+    ``recall_target=1.0`` -- exact results through the TPU's PartialReduce
+    op, measurably faster than the sort-based ``lax.top_k`` lowering.
+
+    ``store_offsets=False`` (diagonal cells only) skips materializing the
+    (N, K, 3) offsets: consumers recompute minimum image elementwise from
+    the gathered positions, which removes the (3, N, N) -> (N, K) offset
+    gather that dominates the build.
     """
     xyz = jax.lax.stop_gradient(xyz)
     d, offsets = _disp_planes(xyz, cell)
@@ -284,13 +296,18 @@ def generate_neighbor_table(xyz, cutoff, cell, k_max, select_mask=None):
     if select_mask is not None:
         within = within & select_mask
     score = jnp.where(within, dist_sq, jnp.inf)
-    neg_top, cols = jax.lax.top_k(-score, k_max)
-    valid = neg_top > -jnp.inf
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k_max))
+    vals, cols = jax.lax.approx_min_k(score, k_max, recall_target=1.0)
+    valid = vals < jnp.inf
     table = jnp.where(valid, cols, n).astype(jnp.int32)
+    overflow = (within.sum(-1) > k_max).any()
+    if not store_offsets:
+        if not _is_diagonal(cell):
+            raise ValueError("store_offsets=False requires a diagonal cell")
+        return NeighborTable(table=table, offsets=(), mask=valid,
+                             overflow=overflow)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k_max))
     off = jnp.where(valid[..., None],
                     jnp.moveaxis(offsets[:, rows, cols], 0, -1), 0.0)
-    overflow = (within.sum(-1) > k_max).any()
     return NeighborTable(table=table, offsets=off, mask=valid,
                          overflow=overflow)
 

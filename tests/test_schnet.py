@@ -51,11 +51,22 @@ def test_schnet_padding_invariance(sys32):
     np.testing.assert_allclose(float(ua), float(ub), rtol=1e-6)
 
 
-def test_schnet_forces_match_finite_difference(sys32):
+def test_schnet_forces_match_finite_difference():
+    # needs cutoff < L/2: the table path recomputes minimum image on the
+    # fly (topology.generate_neighbor_table store_offsets=False), which is
+    # exact only where the single-image convention is well-defined --
+    # finite differences would straddle image flips in an undersized box
+    sys_fd = System.from_lattice("fcc", 2, 2.9)
+    sys_fd.set_temperature(1.0 / units.kB, rng=np.random.default_rng(3))
     gnn = SchNet(PARAMS)
-    inter = GNNPotentials(sys32, gnn, cutoff=2.5)
+    inter = GNNPotentials(sys_fd, gnn, cutoff=2.5)
     p = inter.init_params()
-    xyz = jnp.asarray(sys32.get_positions()) + 0.01
+    # random (non-uniform) displacements: a uniformly shifted perfect
+    # lattice has zero forces by symmetry, which finite differences can't
+    # resolve above f32 noise
+    rng = np.random.default_rng(7)
+    xyz = jnp.asarray(sys_fd.get_positions()
+                      + 0.08 * rng.standard_normal((32, 3)))
     aux = inter.aux_init(xyz)
     g = jax.grad(inter.energy, argnums=1)(p, xyz, aux)
     eps = 1e-3
