@@ -1,0 +1,181 @@
+"""Multi-state-point fitting sharded over the device mesh.
+
+The reference trains multi-state-point potentials by looping state points
+serially inside each epoch (one GPU pass per thermodynamic state,
+/root/reference/scripts/fit_rdf_gnn.py:388 and fit_rdf_pair.py:297-610:
+``for i, sim in enumerate(sim_list): ...``).  This module is the rebuild's
+flagship distributed capability: every state point (its own box, its own
+temperature, its own target g(r)) runs CONCURRENTLY on the ``dp`` axis of a
+``jax.sharding.Mesh``, with atoms optionally sharded over ``sp``; the
+summed RDF loss is a ``psum`` over ``dp``, so one ``jax.grad`` of the
+sharded program yields exactly the serial loop's accumulated gradients
+(all collectives are XLA-native and differentiable -- ``all_gather``
+transposes to ``psum_scatter`` automatically).
+
+Layout: state-point-stacked arrays lead with the S axis and shard it over
+``dp``: states (S, N, ...), cell lengths (S, 3), kT (S,), targets
+(S, nbins).  The learnable params are replicated; gradients arrive
+pre-summed over state points.
+"""
+
+import typing
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..md.integrators import NVTState
+
+
+class MultiStateConfig(typing.NamedTuple):
+    """Static (compile-time) configuration shared by all state points."""
+    cutoff: float
+    dt: float
+    n_steps: int
+    Q: typing.Any                # NHC chain masses (C,)
+    n_dof: int
+    nbins: int
+    rdf_range: typing.Tuple[float, float]
+
+
+def _min_image_elem(disp, cell_len):
+    """Elementwise single-image minimum image for diagonal cells; works
+    with a traced per-state ``cell_len`` (3,)."""
+    off = (-(disp > 0.5 * cell_len).astype(disp.dtype)
+           + (disp < -0.5 * cell_len).astype(disp.dtype))
+    return disp + off * cell_len
+
+
+def make_multistate_fit(pair_model, cfg, mesh):
+    """Build the dp(state) x sp(atom) sharded multi-state objective.
+
+    Returns ``loss_fn(params, states, cell_lens, kTs, targets, masses)
+    -> (scalar summed loss, final states)`` where
+
+      states:    NVTState with q/v (S, N, 3), pv (S, C); sharded
+                 P('dp', 'sp') over (state, atom)
+      cell_lens: (S, 3) diagonal cell lengths, sharded P('dp')
+      kTs:       (S,) thermostat kT per state point, sharded P('dp')
+      targets:   (S, nbins) target g(r) per state, sharded P('dp')
+      masses:    (N,) shared across states, sharded P('sp')
+
+    Differentiate it directly: ``jax.grad(lambda p: loss_fn(p, ...)[0])``
+    equals the serial state-point loop's summed gradients
+    (tests/test_multistate.py asserts this against the single-system
+    NoseHooverChain + observables.rdf oracle).
+    """
+    start, end = cfg.rdf_range
+    nbins = cfg.nbins
+    offsets = jnp.linspace(start, end, nbins)
+    widths = jnp.full(nbins, offsets[1] - offsets[0])
+    cut_b = end + 0.5
+    from ..observables import generate_vol_bins
+    V, vol_bins, _ = generate_vol_bins(start, end, nbins, dim=3)
+
+    def pair_energy(params, q_local, cell_len):
+        """Row-block pair energy; psum over 'sp'."""
+        k = jax.lax.axis_index("sp")
+        blk = q_local.shape[0]
+        q_full = jax.lax.all_gather(q_local, "sp", tiled=True)
+        n = q_full.shape[0]
+        disp = _min_image_elem(q_full[None, :, :] - q_local[:, None, :],
+                               cell_len)
+        dist_sq = (disp ** 2).sum(-1)
+        row_ids = k * blk + jnp.arange(blk)[:, None]
+        col_ids = jnp.arange(n)[None, :]
+        mask = (col_ids > row_ids) & (dist_sq < cfg.cutoff ** 2)
+        safe = jnp.sqrt(jnp.where(mask, dist_sq, 1.0))
+        u = pair_model(params, safe[..., None]).squeeze(-1)
+        return jax.lax.psum(jnp.where(mask, u, 0.0).sum(), "sp")
+
+    def nhc_derivs(params, s, masses_local, cell_len, kT):
+        v, q, pv = s
+        m = masses_local[:, None]
+        p = v * m
+        sys_ke = jax.lax.psum(0.5 * (p ** 2 / m).sum(), "sp")
+        f = -jax.grad(lambda qq: pair_energy(params, qq, cell_len))(q)
+        dvdt = (f - pv[0] * p / cfg.Q[0]) / m
+        dpv0 = (2 * (sys_ke - kT * cfg.n_dof * 0.5)
+                - pv[0] * pv[1] / cfg.Q[1])
+        dpv_mid = ((pv[:-2] ** 2 / cfg.Q[:-2] - kT)
+                   - pv[2:] * pv[1:-1] / cfg.Q[2:])
+        dpv_last = pv[-2] ** 2 / cfg.Q[-2] - kT
+        dpvdt = jnp.concatenate([dpv0[None], dpv_mid, dpv_last[None]])
+        return NVTState(v=dvdt, q=v, pv=dpvdt)
+
+    def step(params, s, masses_local, cell_len, kT):
+        d0 = nhc_derivs(params, s, masses_local, cell_len, kT)
+        half = jax.tree_util.tree_map(
+            lambda y, k_: y + 0.5 * cfg.dt * k_, s, d0)
+        q_new = s.q + half.v * cfg.dt
+        mid = half._replace(q=q_new)
+        d1 = nhc_derivs(params, mid, masses_local, cell_len, kT)
+        new = jax.tree_util.tree_map(
+            lambda y, k_: y + 0.5 * cfg.dt * k_, mid, d1)
+        return new._replace(q=q_new)
+
+    def soft_rdf(q_local, cell_len):
+        k = jax.lax.axis_index("sp")
+        blk = q_local.shape[0]
+        q_full = jax.lax.all_gather(q_local, "sp", tiled=True)
+        n = q_full.shape[0]
+        disp = _min_image_elem(q_full[None, :, :] - q_local[:, None, :],
+                               cell_len)
+        dist_sq = (disp ** 2).sum(-1)
+        row_ids = k * blk + jnp.arange(blk)[:, None]
+        col_ids = jnp.arange(n)[None, :]
+        mask = (col_ids > row_ids) & (dist_sq < cut_b ** 2)
+        dist = jnp.sqrt(jnp.where(mask, dist_sq, 1.0))
+        g = jnp.exp(-0.5 * ((dist[..., None] - offsets) / widths) ** 2)
+        counts = jax.lax.psum((g * mask[..., None]).sum((0, 1)), "sp")
+        counts = counts / counts.sum()
+        return counts / (vol_bins / V)
+
+    def shard_body(params, states, cell_lens, kTs, targets, masses_local):
+        def one_state(s, cell_len, kT, target):
+            def scan_f(carry, _):
+                return step(params, carry, masses_local, cell_len, kT), None
+            final, _ = jax.lax.scan(scan_f, s, None, length=cfg.n_steps)
+            g = soft_rdf(final.q, cell_len)
+            return ((g - target) ** 2).mean(), final
+
+        losses, finals = jax.vmap(one_state)(states, cell_lens, kTs,
+                                             targets)
+        # loss is already identical on every 'sp' member (psum'd inside);
+        # sum state points across 'dp' only
+        loss = jax.lax.psum(losses.sum(), "dp")
+        return loss, finals
+
+    state_spec = NVTState(v=P("dp", "sp"), q=P("dp", "sp"), pv=P("dp"))
+    body = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), state_spec, P("dp"), P("dp"), P("dp"), P("sp")),
+        out_specs=(P(), state_spec))
+
+    def loss_fn(params, states, cell_lens, kTs, targets, masses):
+        return body(params, states, jnp.asarray(cell_lens),
+                    jnp.asarray(kTs), jnp.asarray(targets),
+                    jnp.asarray(masses))
+
+    return loss_fn
+
+
+def make_multistate_train_step(pair_model, cfg, mesh, lr=1e-3):
+    """jitted ``train_step(params, states, cell_lens, kTs, targets,
+    masses) -> (loss, params', states')``: one sharded multi-state epoch,
+    summed-gradient SGD update (the distributed equivalent of the
+    reference's serial loop + single optimizer step,
+    fit_rdf_gnn.py:388-410)."""
+    loss_fn = make_multistate_fit(pair_model, cfg, mesh)
+
+    def train_step(params, states, cell_lens, kTs, targets, masses):
+        (loss, finals), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, states, cell_lens, kTs, targets, masses),
+            has_aux=True)(params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, params, grads)
+        return loss, new_params, finals
+
+    return jax.jit(train_step)

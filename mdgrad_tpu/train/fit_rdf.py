@@ -113,7 +113,8 @@ def _build_net_and_prior(assignments, sys_params):
             "n_filters": w(assignments["n_filters"]),
             "n_gaussians": int(cutoff // assignments["gaussian_width"]),
             "n_convolutions": assignments["n_convolutions"],
-            "cutoff": cutoff, "trainable_gauss": False})
+            "cutoff": cutoff, "trainable_gauss": False,
+            "compute_dtype": assignments.get("compute_dtype", "float32")})
     return net, prior
 
 

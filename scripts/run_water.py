@@ -26,6 +26,8 @@ def main():
     p.add_argument("--pair", action="store_true")
     p.add_argument("--tpair", action="store_true")
     p.add_argument("--dry_run", action="store_true")
+    p.add_argument("-compute_dtype", type=str, default="float32",
+                   help="SchNet filter-net dtype (float32 | bf16)")
     args = p.parse_args()
 
     if args.pair or args.tpair:
@@ -57,6 +59,9 @@ def main():
         assignments["opt_freq"] = 25
         sys_params.update(n_epochs=2, n_sim=1, size=2, frame_skip=5,
                           test_nbins=100, pretrain_iters=50)
+
+    if not (args.pair or args.tpair):
+        assignments["compute_dtype"] = args.compute_dtype
 
     from mdgrad_tpu.train.fit_rdf import fit_rdf
     for i in range(args.nruns):
