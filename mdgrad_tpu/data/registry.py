@@ -134,16 +134,26 @@ def _pair_data_dict():
     if os.path.isdir(stripe_dir):
         for fn in sorted(os.listdir(stripe_dir)):
             m = re.match(r"overalp_(?P<rho>[\d.]+)_k(?P<k>[\d.]+)"
-                         r"_V0(?P<v0>[\d.]+)_(?P<T>[\d.]+)\.csv$", fn)
+                         r"_V0(?P<v0>[\d.]+)_(?P<T>[\d.]+)"
+                         r"(?:_cutoff(?P<cut>[\d.]+))?\.csv$", fn)
             if not m:
                 continue
             rho, T = float(m.group("rho")), float(m.group("T"))
-            out[f"overlap_{rho:g}_T{T:g}"] = {
+            cut = m.group("cut")
+            # geometry per reference data.py:453-480: size-25 square
+            # lattice, rdf 0.5-7.5, fit cutoff 8 (cut12 variant: size 24,
+            # 0.6-9.75, cutoff 12)
+            key = (f"overlap_{rho:g}_T{T:g}"
+                   + (f"_cut{float(cut):g}" if cut else ""))
+            out[key] = {
                 "rdf_fn": os.path.join(stripe_dir, fn),
                 "vacf_fn": None,
-                "rho": rho, "T": T, "dim": 2, "size": 40,
-                "start": 0.5, "end": 7.0,
-                "element": "H", "mass": 1.0,
+                "rho": rho, "T": T, "dim": 2,
+                "size": 24 if cut else 25,
+                "start": 0.6 if cut else 0.5,
+                "end": 9.75 if cut else 7.5,
+                "cutoff": float(cut) if cut else 8.0,
+                "element": "H", "mass": 1.0, "reduced_units": True,
                 "target_pot": ("SplineOverlap",
                                {"K": float(m.group("k")),
                                 "V0": float(m.group("v0"))}),

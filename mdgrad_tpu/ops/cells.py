@@ -1,0 +1,260 @@
+"""Fixed-capacity cell list: O(N) neighbor culling for large systems.
+
+The reference builds a dense O(N^2) displacement matrix every step
+(/root/reference/torchmd/topology.py:30-73) -- fine to ~2k atoms, hopeless
+at 50k.  This module bins atoms into a static grid of cells of width >=
+cutoff and evaluates pair interactions only against the 27-cell
+neighborhood, with every shape static:
+
+  * cells have a fixed capacity ``M`` (atoms/cell rounded up with slack,
+    multiple of 8); a cell exceeding M sets ``overflow`` -- detected,
+    never silent;
+  * atoms are sorted by cell id once per rebuild (``build_cell_list``);
+    per step the compute is cell-major: rows (n_cells, M, 3) against the
+    gathered 27-neighborhood columns (n_cells, 27*M, 3), one fused masked
+    pipeline -- work is O(N * 27 * M) instead of O(N^2);
+  * periodic wraparound of the 27-neighborhood is a *static* numpy table
+    (n_cells, 27) built at construction; minimum image is elementwise
+    (diagonal cells).
+
+The same structure feeds (a) direct analytic pair forces
+(:func:`make_cell_lj_force`, the 50k-atom NVE sampling path) and (b) the
+(N, K) neighbor table for SchNet at large N
+(:func:`neighbor_table_from_cells`), where the top-k candidate set shrinks
+from N to 27*M.
+
+Verlet-skin ready: build with ``cutoff + skin`` cell width and rebuild
+every k steps; in between the neighborhood remains exact while no atom
+moves more than skin/2.
+"""
+
+import functools
+import typing
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class CellGrid(typing.NamedTuple):
+    """Static grid geometry (python/numpy; part of the compiled program)."""
+    dims: typing.Tuple[int, int, int]      # cells per axis
+    widths: typing.Tuple[float, float, float]
+    M: int                                  # per-cell capacity
+    nbr_cells: jnp.ndarray                  # (n_cells, 27) int32, static
+
+
+class CellList(typing.NamedTuple):
+    """Per-configuration binning (a JAX pytree; rebuild via
+    build_cell_list)."""
+    slots: jnp.ndarray          # (n_cells * M,) atom index, padded with N
+    slot_mask: jnp.ndarray      # (n_cells * M,) bool
+    slot_of_atom: jnp.ndarray   # (N,) slot holding each atom
+    overflow: jnp.ndarray       # () bool
+
+
+def make_cell_grid(cell_len, cutoff, density, slack=1.6):
+    """Grid geometry for a diagonal box: per-axis cell count
+    floor(L / cutoff) (>= 3 so the 27-neighborhood tiles the box), widths
+    L / dims, capacity from the density estimate."""
+    L = np.asarray(cell_len, dtype=np.float64).reshape(3)
+    dims = np.maximum(np.floor(L / cutoff).astype(int), 1)
+    if np.any(dims < 3):
+        raise ValueError(
+            f"box {L} supports only {dims} cells of width >= {cutoff}; "
+            "use the dense path below 3 cells per axis")
+    widths = L / dims
+    vol = float(np.prod(widths))
+    M = int(np.ceil(max(density * vol, 1.0) * slack / 8) * 8)
+    n_cells = int(np.prod(dims))
+
+    # static periodic 27-neighborhood table
+    cx, cy, cz = np.unravel_index(np.arange(n_cells), dims)
+    nbrs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                nx = (cx + dx) % dims[0]
+                ny = (cy + dy) % dims[1]
+                nz = (cz + dz) % dims[2]
+                nbrs.append(np.ravel_multi_index((nx, ny, nz), dims))
+    nbr_cells = jnp.asarray(np.stack(nbrs, axis=1).astype(np.int32))
+    return CellGrid(dims=tuple(int(d) for d in dims),
+                    widths=tuple(float(w) for w in widths),
+                    M=M, nbr_cells=nbr_cells)
+
+
+def build_cell_list(xyz, cell_len, grid):
+    """Bin atoms into cells (jit-compatible; runs at rebuild cadence).
+
+    Sort-based: atoms sorted by cell id, rank within cell from the sorted
+    run starts, one scatter into the (n_cells * M,) slot array.
+    """
+    xyz = jax.lax.stop_gradient(jnp.asarray(xyz))
+    n = xyz.shape[0]
+    L = jnp.asarray(cell_len)
+    dims = jnp.asarray(grid.dims)
+    widths = jnp.asarray(grid.widths)
+    frac = xyz - jnp.floor(xyz / L) * L          # wrap into [0, L)
+    coords = jnp.clip((frac / widths).astype(jnp.int32), 0, dims - 1)
+    cell_id = ((coords[:, 0] * grid.dims[1] + coords[:, 1])
+               * grid.dims[2] + coords[:, 2])
+
+    order = jnp.argsort(cell_id)
+    sorted_ids = cell_id[order]
+    n_cells = int(np.prod(grid.dims))
+    starts = jnp.searchsorted(sorted_ids, jnp.arange(n_cells))
+    rank = jnp.arange(n) - starts[sorted_ids]
+    counts = jnp.bincount(cell_id, length=n_cells)
+    overflow = (counts > grid.M).any()
+
+    slot_idx = sorted_ids * grid.M + jnp.minimum(rank, grid.M - 1)
+    S = n_cells * grid.M
+    slots = jnp.full(S, n, dtype=jnp.int32).at[slot_idx].set(
+        order.astype(jnp.int32), mode="drop")
+    slot_mask = slots < n
+    slot_of_atom = jnp.zeros(n, dtype=jnp.int32).at[
+        order.astype(jnp.int32)].set(slot_idx.astype(jnp.int32))
+    return CellList(slots=slots, slot_mask=slot_mask,
+                    slot_of_atom=slot_of_atom, overflow=overflow)
+
+
+def _min_image_elem(d, L):
+    return d - jnp.round(d / L) * L
+
+
+def _cell_major(xyz, clist, grid):
+    """Gather positions into cell-major layout.
+
+    Returns rows (n_cells, M, 3), cols (n_cells, 27*M, 3), atom ids for
+    both, and validity masks.  Padded slots gather a sentinel row.
+    """
+    n = xyz.shape[0]
+    ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
+    n_cells = grid.nbr_cells.shape[0]
+    M = grid.M
+    xyz_cs = ext[clist.slots].reshape(n_cells, M, 3)
+    ids_cs = clist.slots.reshape(n_cells, M)
+
+    # 27-neighborhood columns: gather whole cells (static nbr table)
+    cols = xyz_cs[grid.nbr_cells].reshape(n_cells, 27 * M, 3)
+    col_ids = ids_cs[grid.nbr_cells].reshape(n_cells, 27 * M)
+    return xyz_cs, ids_cs, cols, col_ids
+
+
+def cell_pair_energy_forces(pair_u_g, xyz, clist, grid, cell_len, cutoff):
+    """(total energy, forces (N, 3)) with analytic per-pair derivatives.
+
+    ``pair_u_g(r_sq) -> (u, g)`` where g = u'(r)/r (both (..., ) arrays);
+    pairs are double-counted internally (energy halved).
+    """
+    n = xyz.shape[0]
+    L = jnp.asarray(cell_len)
+    rows, row_ids, cols, col_ids = _cell_major(xyz, clist, grid)
+
+    d = _min_image_elem(rows[:, :, None, :] - cols[:, None, :, :], L)
+    r_sq = (d ** 2).sum(-1)
+    valid = ((row_ids[:, :, None] != col_ids[:, None, :])
+             & (row_ids[:, :, None] < n) & (col_ids[:, None, :] < n)
+             & (r_sq < cutoff ** 2))
+    r_sq = jnp.where(valid, r_sq, 1.0)
+    u, g = pair_u_g(r_sq)
+    u = jnp.where(valid, u, 0.0)
+    g = jnp.where(valid, g, 0.0)
+    energy = 0.5 * u.sum()
+    f_rows = -(g[..., None] * d).sum(2)          # (n_cells, M, 3)
+    forces = f_rows.reshape(-1, 3)[clist.slot_of_atom]
+    return energy, forces
+
+
+def lj_u_g(sigma, epsilon, rep_pow=12, attr_pow=6):
+    """LJ-family (u, u'/r) closure for cell_pair_energy_forces."""
+    def fn(r_sq):
+        inv_r2 = 1.0 / r_sq
+        sr = sigma * jnp.sqrt(inv_r2)
+        sr_a = sr ** attr_pow
+        sr_r = sr ** rep_pow
+        u = 4.0 * epsilon * (sr_r - sr_a)
+        g = 4.0 * epsilon * (-rep_pow * sr_r + attr_pow * sr_a) * inv_r2
+        return u, g
+    return fn
+
+
+class CellLJPair:
+    """Interaction-protocol adapter: LJ-family forces through the cell
+    list (the 10k-100k-atom sampling path; parity scope matches
+    ops.pallas_pair.PallasLJPair but with O(N*27*M) work).
+
+    aux = CellList, rebuilt by ``aux_update`` (pair with
+    ``topology_update_freq`` + a skin via ``build_cutoff``)."""
+
+    def __init__(self, system, cutoff, sigma=1.0, epsilon=1.0, rep_pow=12,
+                 attr_pow=6, skin=0.0, slack=1.6):
+        from ..system import check_system
+        check_system(system)
+        self.cell_len = jnp.asarray(np.diag(np.asarray(system.get_cell())))
+        self.cutoff = cutoff
+        self.sigma, self.epsilon = sigma, epsilon
+        self.rep_pow, self.attr_pow = rep_pow, attr_pow
+        n = system.get_number_of_atoms()
+        density = n / float(np.prod(np.diag(np.asarray(system.get_cell()))))
+        self.grid = make_cell_grid(self.cell_len, cutoff + skin, density,
+                                   slack=slack)
+
+    def init_params(self):
+        return {"sigma": jnp.asarray(self.sigma),
+                "epsilon": jnp.asarray(self.epsilon)}
+
+    def aux_init(self, xyz):
+        return build_cell_list(xyz, self.cell_len, self.grid)
+
+    def aux_update(self, xyz, aux):
+        return build_cell_list(xyz, self.cell_len, self.grid)
+
+    def _u_g(self, params):
+        return lj_u_g(params["sigma"], params["epsilon"], self.rep_pow,
+                      self.attr_pow)
+
+    def energy(self, params, xyz, aux):
+        e, _ = cell_pair_energy_forces(self._u_g(params), xyz, aux,
+                                       self.grid, self.cell_len,
+                                       self.cutoff)
+        return e
+
+    def force(self, params, xyz, aux):
+        _, f = cell_pair_energy_forces(self._u_g(params), xyz, aux,
+                                       self.grid, self.cell_len,
+                                       self.cutoff)
+        return f
+
+
+def neighbor_table_from_cells(xyz, clist, grid, cell_len, cutoff, k_max):
+    """(N, K) neighbor table (topology.NeighborTable, offsets-free) from
+    the cell list: per-atom top-k over its 27*M-candidate neighborhood
+    instead of all N -- the large-N edge builder for SchNet
+    (GNNPotentials(nbr_mode='table') semantics at scales the dense
+    (N, N) top_k cannot reach)."""
+    from .. import topology as topo
+    n = xyz.shape[0]
+    L = jnp.asarray(cell_len)
+    rows, row_ids, cols, col_ids = _cell_major(xyz, clist, grid)
+    d = _min_image_elem(rows[:, :, None, :] - cols[:, None, :, :], L)
+    r_sq = (d ** 2).sum(-1)
+    valid = ((row_ids[:, :, None] != col_ids[:, None, :])
+             & (row_ids[:, :, None] < n) & (col_ids[:, None, :] < n)
+             & (r_sq < cutoff ** 2))
+    score = jnp.where(valid, r_sq, jnp.inf)
+    vals, pos = jax.lax.approx_min_k(
+        score.reshape(-1, 27 * grid.M), k_max, recall_target=1.0)
+    found = vals < jnp.inf
+    cand_ids = jnp.broadcast_to(
+        col_ids[:, None, :], score.shape).reshape(-1, 27 * grid.M)
+    chosen = jnp.take_along_axis(cand_ids, pos, axis=1)  # (n_cells*M, K)
+    table_cs = jnp.where(found, chosen, n).astype(jnp.int32)
+    overflow = ((jnp.where(valid, 1, 0).sum(-1) > k_max).any()
+                | clist.overflow)
+    # back to atom order
+    table = table_cs[clist.slot_of_atom]
+    mask = found[clist.slot_of_atom]
+    return topo.NeighborTable(table=table, offsets=(), mask=mask,
+                              overflow=overflow)

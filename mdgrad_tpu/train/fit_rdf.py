@@ -59,9 +59,19 @@ def registry_T_kelvin(entry):
 
 def get_system(data_tag, size, registry=None, rng=None):
     """Lattice-initialized System for a registry entry
-    (parity: reference fit_rdf_gnn.py:61-82)."""
+    (parity: reference fit_rdf_gnn.py:61-82; 2-D stripe systems via the
+    square lattice, fit_rdf_pair.py:124-155)."""
     registry = exp_rdf_data_dict if registry is None else registry
     entry = registry[data_tag]
+    if entry.get("dim", 3) == 2:
+        from ..lattice import square_lattice_2d
+        positions, cell = square_lattice_2d(entry["rho"],
+                                            entry.get("size", size))
+        sys = System(positions, cell, dim=2)
+        sys.masses = np.full(len(positions), entry.get("mass", 1.0))
+        # stripe registries are reduced-units (kT passed as T)
+        sys.set_temperature(entry["T"] / units.kB, rng=rng)
+        return sys
     if entry.get("reduced_units"):
         # LJ-style number density (reference fit_rdf_pair.py:113)
         from ..data.registry import number_density_unit_len

@@ -1,0 +1,94 @@
+"""Cell-list correctness: energies/forces/tables must match the dense
+O(N^2) reference paths exactly (same pairs, same minimum image)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdgrad_tpu import units, potentials, topology
+from mdgrad_tpu.system import System
+from mdgrad_tpu.interface import PairPotentials
+from mdgrad_tpu.ops.cells import (make_cell_grid, build_cell_list,
+                                  cell_pair_energy_forces, lj_u_g,
+                                  CellLJPair, neighbor_table_from_cells)
+
+CUT = 2.5
+
+
+@pytest.fixture(scope="module")
+def sys500():
+    # 5^3 fcc cells, a = 1.679: box 8.395 -> 3 cells of width >= 2.5/axis
+    sys_ = System.from_lattice("fcc", 5, 1.679)
+    sys_.set_temperature(1.0 / units.kB, rng=np.random.default_rng(2))
+    rng = np.random.default_rng(4)
+    sys_.positions = sys_.positions + 0.05 * rng.standard_normal(
+        sys_.positions.shape)
+    return sys_
+
+
+def test_cell_energy_forces_match_dense(sys500):
+    xyz = jnp.asarray(sys500.get_positions())
+    cell_len = np.diag(sys500.get_cell())
+    lj = potentials.LennardJones(0.9, 1.0)
+    dense = PairPotentials(sys500, lj, cutoff=CUT, mode="dense")
+    u_ref = dense.energy(lj.init_params(), xyz, ())
+    f_ref = -jax.grad(dense.energy, argnums=1)(lj.init_params(), xyz, ())
+
+    inter = CellLJPair(sys500, CUT, sigma=0.9, epsilon=1.0)
+    aux = inter.aux_init(xyz)
+    assert not bool(aux.overflow)
+    u = inter.energy(inter.init_params(), xyz, aux)
+    f = inter.force(inter.init_params(), xyz, aux)
+    np.testing.assert_allclose(float(u), float(u_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_cell_overflow_flag(sys500):
+    xyz = jnp.asarray(sys500.get_positions())
+    cell_len = np.diag(sys500.get_cell())
+    grid = make_cell_grid(cell_len, CUT, density=0.01, slack=1.0)  # M tiny
+    clist = build_cell_list(xyz, cell_len, grid)
+    assert bool(clist.overflow)
+
+
+def test_cell_neighbor_table_matches_dense(sys500):
+    xyz = jnp.asarray(sys500.get_positions())
+    cell_len = np.diag(sys500.get_cell())
+    n = xyz.shape[0]
+    k_max = 64   # ~55 in-cutoff neighbors at this density
+    ref = topology.generate_neighbor_table(
+        xyz, CUT, jnp.asarray(sys500.get_cell()), k_max,
+        store_offsets=False)
+    inter = CellLJPair(sys500, CUT)
+    clist = inter.aux_init(xyz)
+    tab = neighbor_table_from_cells(xyz, clist, inter.grid, cell_len,
+                                    CUT, k_max)
+    assert not bool(tab.overflow)
+    # same neighbor SETS per atom (ordering may differ)
+    a = np.sort(np.where(np.asarray(ref.mask), np.asarray(ref.table), n),
+                axis=1)
+    b = np.sort(np.where(np.asarray(tab.mask), np.asarray(tab.table), n),
+                axis=1)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_cell_nve_matches_dense_trajectory(sys500):
+    from mdgrad_tpu.md import NVE, Simulation
+    lj = potentials.LennardJones(0.9, 1.0)
+    dense = PairPotentials(sys500, lj, cutoff=CUT, mode="dense")
+    cellp = CellLJPair(sys500, CUT, sigma=0.9, epsilon=1.0)
+
+    q0 = sys500.get_positions().copy()
+    v0 = sys500.get_velocities().copy()
+    trajs = {}
+    for name, pot in [("dense", dense), ("cells", cellp)]:
+        sys500.set_positions(q0)
+        sys500.set_velocities(v0)
+        integ = NVE(pot, sys500, adjoint=False)
+        sim = Simulation(sys500, integ)
+        traj = sim.simulate(steps=10, dt=0.002, frequency=10)
+        trajs[name] = np.asarray(traj.q)
+    np.testing.assert_allclose(trajs["cells"], trajs["dense"], rtol=1e-4,
+                               atol=1e-4)
