@@ -41,8 +41,12 @@ def build():
     system.masses = np.full(512, 18.01528)
     system.set_temperature(298.0, rng=np.random.default_rng(0))
 
+    # bf16 filter network: fit-validated (water 800-bin inference MSE
+    # 0.0190 bf16 vs 0.0199 f32, results/water_r2_*) -- this IS the
+    # training configuration, not a benchmark special
     gnn = SchNet({"n_atom_basis": 128, "n_filters": 128, "n_gaussians": 40,
-                  "n_convolutions": 2, "cutoff": 6.0})
+                  "n_convolutions": 2, "cutoff": 6.0,
+                  "compute_dtype": "bf16"})
     stack = Stack({
         "nn": GNNPotentials(system, gnn, cutoff=6.0),
         "prior": PairPotentials(system, potentials.ExcludedVolume(
