@@ -42,12 +42,18 @@ class AggrGNNInteraction:
 
     def energy(self, params, xyz, aux, aggr_wgt=None):
         nbrs = aux
-        off = jnp.matmul(nbrs.offsets, self._inner.cell,
-                         precision=jax.lax.Precision.HIGHEST)
         if self._inner.nbr_mode == "table":
+            if self._inner.store_offsets:
+                off = jnp.matmul(nbrs.offsets, self._inner.cell,
+                                 precision=jax.lax.Precision.HIGHEST)
+            else:
+                off = None  # offsets-free table: min image in the GNN
             return self.gnn.energy(params, self._inner.z, xyz, nbrs.table,
                                    off, nbrs.mask, aggr_wgt,
-                                   edge_format="table")
+                                   edge_format="table",
+                                   cell_len=self._inner.cell_len)
+        off = jnp.matmul(nbrs.offsets, self._inner.cell,
+                         precision=jax.lax.Precision.HIGHEST)
         return self.gnn.energy(params, self._inner.z, xyz, nbrs.idx, off,
                                nbrs.mask, aggr_wgt)
 

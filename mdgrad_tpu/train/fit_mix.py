@@ -143,6 +143,13 @@ def fit_mix(size=3, rho=0.845, T=1.2, x=0.5, n_epochs=3, tau=21, dt=0.005,
         {"train": optax.adam(lr), "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
 
+    @jax.jit
+    def _opt_step(grads, opt_state, params):
+        # fused optimizer step (eager optax over the axon tunnel costs
+        # hundreds of small dispatches per epoch; see fit_rdf.py)
+        updates, new_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state
+
     state, aux = sim2.initial_state()
     loss_log = []
     for epoch in range(n_epochs):
@@ -152,8 +159,7 @@ def fit_mix(size=3, rho=0.845, T=1.2, x=0.5, n_epochs=3, tau=21, dt=0.005,
             return {"objective": 5 - (epoch / n_epochs) * 5,
                     "nan_bailout": True, "loss_log": loss_log}
         state, aux = jax.lax.stop_gradient(last), aux_new
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state = _opt_step(grads, opt_state, params)
         loss_log.append(float(loss))
         log(f"epoch {epoch} | mixture loss {float(loss):.6f}")
 

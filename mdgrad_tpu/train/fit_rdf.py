@@ -18,6 +18,7 @@ masking (optax.multi_transform) replaces the reference's
 "optimizer = Adam(net.parameters())" selection.
 """
 
+import functools
 import os
 import json
 
@@ -288,6 +289,19 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
          "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
 
+    # one jitted program for the whole optimizer step: eager optax over
+    # the axon tunnel costs hundreds of ~1 ms dispatches per epoch (more
+    # than the MD itself); fused it is a single device call
+    @jax.jit
+    def apply_update(grads_acc, opt_state, params, total_loss):
+        updates, opt_state = opt.update(grads_acc, opt_state, params,
+                                        value=total_loss)
+        return optax.apply_updates(params, updates), opt_state
+
+    tree_add = jax.jit(functools.partial(jax.tree_util.tree_map, jnp.add))
+    zero_grads = jax.jit(
+        functools.partial(jax.tree_util.tree_map, jnp.zeros_like))(params)
+
     def _dt_for(tag):
         # dt is in femtoseconds for physical-units targets (water/Si; the
         # reference's fit_rdf actually ignores its dt and integrates at
@@ -345,7 +359,7 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         log(f"resumed from checkpoint at epoch {resume['epoch']}")
     for epoch in range(start_epoch, n_epochs):
         total_loss = 0.0
-        grads_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+        grads_acc = zero_grads
         for j, tag in enumerate(all_sys):
             sim = sims[j]
             integ = sim.integrator
@@ -372,13 +386,10 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
             if tag in train_list:
                 total_loss += float(loss)
                 js_log.append(float(JS_rdf(targets[j], g)))
-                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc,
-                                                   grads)
+                grads_acc = tree_add(grads_acc, grads)
 
-        updates, opt_state = opt.update(
-            grads_acc, opt_state, params,
-            value=jnp.asarray(total_loss))
-        params = optax.apply_updates(params, updates)
+        params, opt_state = apply_update(grads_acc, opt_state, params,
+                                         jnp.asarray(total_loss))
         for sim in sims:
             sim.params = params
         loss_log.append(total_loss)

@@ -138,9 +138,18 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
                   n_width=assignments["n_width"],
                   n_layers=assignments["n_layers"],
                   nonlinear=assignments["nonlinear"])
-    # soft-core prior (reference fit_rdf_pair.py:358)
-    prior = pot_zoo.LJFamily(epsilon=2.0, sigma=assignments["sigma"],
-                             rep_pow=6, attr_pow=3)
+    # soft-core prior (reference fit_rdf_pair.py:358); purely repulsive
+    # variant for systems whose ground truth has no attraction (the 2-D
+    # stripe SplineOverlap: an attractive prior at kT = 0.07 collapses
+    # the lattice before the MLP can counteract it)
+    if assignments.get("prior", "ljfamily") == "repulsive":
+        prior = pot_zoo.ExcludedVolume(
+            epsilon=assignments.get("prior_epsilon", 1.0),
+            sigma=assignments["sigma"],
+            power=assignments.get("prior_power", 12))
+    else:
+        prior = pot_zoo.LJFamily(epsilon=2.0, sigma=assignments["sigma"],
+                                 rep_pow=6, attr_pow=3)
 
     systems, sims, observers = [], [], []
     params = None
@@ -204,6 +213,19 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
          "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
 
+    # jitted optimizer step (eager optax over the axon tunnel dominates
+    # epoch wall-clock otherwise; see fit_rdf.py)
+    @jax.jit
+    def apply_update(grads_acc, opt_state, params, total_loss):
+        updates, opt_state = opt.update(grads_acc, opt_state, params,
+                                        value=total_loss)
+        return optax.apply_updates(params, updates), opt_state
+
+    import functools as _ft
+    tree_add = jax.jit(_ft.partial(jax.tree_util.tree_map, jnp.add))
+    zero_grads = jax.jit(
+        _ft.partial(jax.tree_util.tree_map, jnp.zeros_like))(params)
+
     # one jitted loss+grad per state point
     vgs, md_states = [], []
     for j, tag in enumerate(all_sys):
@@ -251,7 +273,7 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         log(f"resumed from checkpoint at epoch {resume['epoch']}")
     for epoch in range(start_epoch, n_epochs):
         total = 0.0
-        grads_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+        grads_acc = zero_grads
         for j, tag in enumerate(all_sys):
             state, aux = md_states[j]
             ctrl = sims[j].integrator.default_ctrl()
@@ -266,11 +288,9 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             obs_log[tag]["vacf"].append(np.asarray(vacf_sim))
             if tag in train_list:
                 total += float(loss)
-                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc,
-                                                   grads)
-        updates, opt_state = opt.update(grads_acc, opt_state, params,
-                                        value=jnp.asarray(total))
-        params = optax.apply_updates(params, updates)
+                grads_acc = tree_add(grads_acc, grads)
+        params, opt_state = apply_update(grads_acc, opt_state, params,
+                                         jnp.asarray(total))
         for sim in sims:
             sim.params = params
         loss_log.append(total)

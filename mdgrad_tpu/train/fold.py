@@ -144,6 +144,13 @@ def train_fold(params, model_path=None, log=print, rng=None):
          "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(weights)
 
+    @jax.jit
+    def _opt_step(grads, opt_state, params):
+        # fused optimizer step (eager optax over the axon tunnel costs
+        # hundreds of small dispatches per epoch; see fit_rdf.py)
+        updates, new_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state
+
     state, aux = sim.initial_state()
     loss_log = []
     for epoch in range(params["n_epochs"]):
@@ -161,8 +168,7 @@ def train_fold(params, model_path=None, log=print, rng=None):
             return {"objective": 55.0, "nan_bailout": True,
                     "loss_log": loss_log}
         state, aux = jax.lax.stop_gradient(last), aux_new
-        updates, opt_state = opt.update(grads, opt_state, weights)
-        weights = optax.apply_updates(weights, updates)
+        weights, opt_state = _opt_step(grads, opt_state, weights)
         loss_log.append(float(loss))
         log(f"epoch {epoch} | fold loss {float(loss):.6f}")
 

@@ -134,6 +134,13 @@ def fit_isomerization(n_epochs=5, lr=1e-2, adam=False, n_steps=None,
     params = ode_obj.init_params()
     opt_state = opt.init(params)
 
+    @jax.jit
+    def _opt_step(grads, opt_state, params):
+        # fused optimizer step (eager optax over the axon tunnel costs
+        # hundreds of small dispatches per epoch; see fit_rdf.py)
+        updates, new_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state
+
     q_yields, fields = [], []
     yields_t = None
     for epoch in range(n_epochs):
@@ -142,8 +149,7 @@ def fit_isomerization(n_epochs=5, lr=1e-2, adam=False, n_steps=None,
         fields.append(np.asarray(params["e_field"]).tolist())
         yields_t = [np.asarray(y) for y in ys]
         log(f"epoch {epoch}: average quantum yield {-float(loss):.6f}")
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state = _opt_step(grads, opt_state, params)
 
     out = {"q_yields": q_yields, "e_field": np.asarray(params["e_field"]),
            "yields_t": yields_t, "params": params}

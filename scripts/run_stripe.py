@@ -20,7 +20,7 @@ def main():
     p.add_argument("-logdir", type=str, default="outputs/stripe")
     p.add_argument("-data", type=str, nargs="+",
                    default=["overlap_0.9766_T0.07"])
-    p.add_argument("-cutoff", type=float, default=7.0)
+    p.add_argument("-cutoff", type=float, default=8.0)
     p.add_argument("-dt", type=float, default=0.005)
     p.add_argument("-lr", type=float, default=1e-3)
     p.add_argument("-sigma", type=float, default=0.9)
@@ -34,9 +34,12 @@ def main():
         "sigma": args.sigma, "gaussian_width": 0.1, "n_width": 128,
         "n_layers": 3, "nonlinear": "SELU",
         "rdf_weight": 1.0, "vacf_weight": 0.0, "train_vacf": "False",
+        # the SplineOverlap ground truth is purely repulsive; an
+        # attractive LJFamily prior collapses the kT=0.07 lattice
+        "prior": "repulsive", "prior_epsilon": 1.0,
     }
     sys_params = {
-        "size": 40, "cutoff": args.cutoff, "t_range": 20,
+        "size": 25, "cutoff": args.cutoff, "t_range": 20,
         "n_epochs": args.nepochs, "n_sim": 10, "data": args.data,
         "val": None, "topology_update_freq": 1,
         "pretrain_iters": args.pretrain,
