@@ -95,9 +95,10 @@ class rdf:
         if xyz.ndim == 2:
             count = frame_fn(xyz)
         elif self.backend == "pallas":
-            # unrolled frame loop: frame counts are static and small;
-            # vmap over pallas custom_vjp is avoided
-            count = sum(frame_fn(xyz[i]) for i in range(xyz.shape[0]))
+            # frame-batched kernel: one pallas_call with grid
+            # (F, row_tiles) -- frames stream through the grid pipeline
+            # (round 1 unrolled a Python loop of F separate calls)
+            count = self._pallas_counts.frames(xyz)
         else:
             count = jax.vmap(self._frame_counts)(xyz).sum(0)
         count = count / count.sum()

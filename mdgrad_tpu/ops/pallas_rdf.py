@@ -44,10 +44,10 @@ def _dist_tile(rows, cols, cell, row_ids, col_ids, cutoff_sq, n_real):
 
 def _fwd_kernel(n_col_tiles, n_real, n_bins,
                 xyz_row_ref, xyz_full_ref, cell_ref, cutoff_ref,
-                mu_ref, coeff_ref, counts_ref):
+                mu_ref, coeff_ref, counts_ref, row_axis=0):
     cutoff_sq = cutoff_ref[0] ** 2
     cell = (cell_ref[0], cell_ref[1], cell_ref[2])
-    i0 = pl.program_id(0) * TILE_R
+    i0 = pl.program_id(row_axis) * TILE_R
     rows = xyz_row_ref[:, :]
     row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
 
@@ -78,10 +78,10 @@ def _fwd_kernel(n_col_tiles, n_real, n_bins,
 
 def _bwd_kernel(n_col_tiles, n_real, n_bins,
                 xyz_row_ref, xyz_full_ref, cell_ref, cutoff_ref,
-                mu_ref, coeff_ref, ct_ref, dxyz_ref):
+                mu_ref, coeff_ref, ct_ref, dxyz_ref, row_axis=0):
     cutoff_sq = cutoff_ref[0] ** 2
     cell = (cell_ref[0], cell_ref[1], cell_ref[2])
-    i0 = pl.program_id(0) * TILE_R
+    i0 = pl.program_id(row_axis) * TILE_R
     rows = xyz_row_ref[:, :]
     row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
 
@@ -117,6 +117,28 @@ def _bwd_kernel(n_col_tiles, n_real, n_bins,
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel_frames(n_col_tiles, n_real, n_bins,
+                       xyz_row_ref, xyz_full_ref, cell_ref, cutoff_ref,
+                       mu_ref, coeff_ref, counts_ref):
+    """Frame-batched forward: same body, refs carry a leading frame dim
+    selected by the grid (the round-1 caller unrolled a Python loop over
+    frames -- F separate pallas_calls; this is ONE call with grid
+    (F, row_tiles), so the grid pipeline streams frames back-to-back)."""
+    _fwd_kernel(n_col_tiles, n_real, n_bins,
+                xyz_row_ref.at[0], xyz_full_ref.at[0], cell_ref,
+                cutoff_ref, mu_ref, coeff_ref, counts_ref,
+                row_axis=1)
+
+
+def _bwd_kernel_frames(n_col_tiles, n_real, n_bins,
+                       xyz_row_ref, xyz_full_ref, cell_ref, cutoff_ref,
+                       mu_ref, coeff_ref, ct_ref, dxyz_ref):
+    _bwd_kernel(n_col_tiles, n_real, n_bins,
+                xyz_row_ref.at[0], xyz_full_ref.at[0], cell_ref,
+                cutoff_ref, mu_ref, coeff_ref, ct_ref, dxyz_ref.at[0],
+                row_axis=1)
 
 
 def make_pallas_rdf(cell_len, mu, widths, cutoff, interpret=False):
@@ -196,4 +218,81 @@ def make_pallas_rdf(cell_len, mu, widths, cutoff, interpret=False):
         return (dxyz_t[:, :xyz.shape[0]].T.astype(xyz.dtype),)
 
     counts.defvjp(counts_fwd, counts_bwd)
+
+    # ---- frame-batched variant: ONE pallas_call, grid (F, row_tiles) ----
+    def _pad_frames(xyzs):
+        f, n = xyzs.shape[0], xyzs.shape[1]
+        n_pad = _round_up(max(n, TILE_R), TILE_C)
+        xt = jnp.zeros((f, 3, n_pad), jnp.float32).at[:, :, :n].set(
+            jnp.swapaxes(jnp.asarray(xyzs, jnp.float32), 1, 2))
+        return xt, n, n_pad
+
+    def _fwd_frames_call(xyzs):
+        xt, n, n_pad = _pad_frames(xyzs)
+        f = xt.shape[0]
+        grid_r = n_pad // TILE_R
+        kernel = functools.partial(_fwd_kernel_frames, n_pad // TILE_C,
+                                   n, g_real)
+        parts = pl.pallas_call(
+            kernel,
+            grid=(f, grid_r),
+            in_specs=[
+                pl.BlockSpec((1, 3, TILE_R), lambda fi, i: (fi, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, n_pad), lambda fi, i: (fi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (8, g_pad), lambda fi, i: (fi * grid_r + i, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((f * grid_r * 8, g_pad),
+                                           jnp.float32),
+            interpret=interpret,
+        )(xt, xt, cell, cutoff_arr, mu_p, coeff_p)
+        return parts.sum(0)[:g_real]      # summed over frames
+
+    @jax.custom_vjp
+    def counts_frames(xyzs):
+        return _fwd_frames_call(xyzs)
+
+    def counts_frames_fwd(xyzs):
+        return _fwd_frames_call(xyzs), xyzs
+
+    def counts_frames_bwd(xyzs, ct):
+        xt, n, n_pad = _pad_frames(xyzs)
+        f = xt.shape[0]
+        grid_r = n_pad // TILE_R
+        ct_p = jnp.zeros((g_pad,), jnp.float32).at[:g_real].set(
+            jnp.asarray(ct, jnp.float32))
+        kernel = functools.partial(_bwd_kernel_frames, n_pad // TILE_C,
+                                   n, g_real)
+        dx = pl.pallas_call(
+            kernel,
+            grid=(f, grid_r),
+            in_specs=[
+                pl.BlockSpec((1, 3, TILE_R), lambda fi, i: (fi, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, n_pad), lambda fi, i: (fi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 3, TILE_R),
+                                   lambda fi, i: (fi, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((f, 3, n_pad), jnp.float32),
+            interpret=interpret,
+        )(xt, xt, cell, cutoff_arr, mu_p, coeff_p, ct_p)
+        return (jnp.swapaxes(dx[:, :, :xyzs.shape[1]], 1, 2)
+                .astype(xyzs.dtype),)
+
+    counts_frames.defvjp(counts_frames_fwd, counts_frames_bwd)
+    counts.frames = counts_frames
     return counts

@@ -122,6 +122,32 @@ def test_rdf_pallas_backend_api(perturbed_fcc, monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_rdf_pallas_frames_kernel(perturbed_fcc):
+    """The frame-batched grid kernel == per-frame calls (fwd + grads)."""
+    from mdgrad_tpu.ops.pallas_rdf import make_pallas_rdf
+    from mdgrad_tpu.nn.layers import GaussianSmearing
+    sys_, xyz = perturbed_fcc
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(np.stack(
+        [np.asarray(xyz) + 0.02 * rng.standard_normal(xyz.shape)
+         for _ in range(3)]))
+    smear = GaussianSmearing(start=0.75, stop=2.0, n_gaussians=48)
+    counts_fn = make_pallas_rdf(
+        np.diag(np.asarray(sys_.get_cell())), np.asarray(smear.offsets),
+        np.asarray(smear.widths), 2.5, interpret=True)
+
+    c_frames = counts_fn.frames(frames)
+    c_loop = sum(counts_fn(frames[i]) for i in range(3))
+    np.testing.assert_allclose(np.asarray(c_frames), np.asarray(c_loop),
+                               rtol=1e-5, atol=1e-4)
+
+    g1 = jax.grad(lambda x: (counts_fn.frames(x) ** 2).sum())(frames)
+    g2 = jax.grad(lambda x: (sum(counts_fn(x[i]) for i in range(3))
+                             ** 2).sum())(frames)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_differentiable_pallas_force_in_md_adjoint(perturbed_fcc):
     """Fitting-path chain: RDF loss -> trajectory adjoint -> pallas force
     (custom-vjp HVP backward) -> d/d(sigma, epsilon) matches the XLA dense
