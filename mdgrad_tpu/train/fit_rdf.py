@@ -347,9 +347,16 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     start_epoch = 0
     if resume is not None:
         params = jax.device_put(resume["params"])
-        opt_state = jax.tree_util.tree_map(
-            lambda _, new: jnp.asarray(new), opt_state,
-            resume["opt_state"])
+        if sys_params.get("reset_opt_on_resume"):
+            # fresh optimizer over checkpointed params: lets a follow-up
+            # phase (e.g. post-anneal equilibrium training) escape a
+            # reduce-on-plateau scale that already collapsed to its floor
+            opt_state = opt.init(params)
+            log("optimizer state reset on resume")
+        else:
+            opt_state = jax.tree_util.tree_map(
+                lambda _, new: jnp.asarray(new), opt_state,
+                resume["opt_state"])
         md_states = [jax.device_put(s) for s in resume["md_states"]]
         loss_log = list(resume["logs"].get("loss_log", []))
         js_log = list(resume["logs"].get("js_log", []))

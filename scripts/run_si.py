@@ -26,6 +26,8 @@ def main():
     p.add_argument("-lr", type=float, default=2e-4)
     p.add_argument("-compute_dtype", type=str, default="float32")
     p.add_argument("--no_anneal", action="store_true")
+    p.add_argument("--reset_opt", action="store_true",
+                   help="fresh optimizer when resuming from a checkpoint")
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
@@ -50,6 +52,7 @@ def main():
         "anneal_flag": "False" if args.no_anneal else "True",
         "pair_flag": False, "tpair_flag": False,
         "topology_update_freq": 1,
+        "reset_opt_on_resume": args.reset_opt,
     }
     if args.dry_run:
         assignments["opt_freq"] = 25
