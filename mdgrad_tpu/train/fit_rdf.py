@@ -388,6 +388,12 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                 log(f"NaN bailout at epoch {epoch} ({tag})")
                 return {"objective": 5 - (epoch / n_epochs) * 5,
                         "nan_bailout": True, "loss_log": loss_log}
+            for key, a in (final_aux.items()
+                           if isinstance(final_aux, dict) else ()):
+                if hasattr(a, "overflow") and bool(a.overflow):
+                    log(f"WARNING: neighbor capacity overflow in "
+                        f"'{key}' ({tag}, epoch {epoch}) -- results "
+                        "drop neighbors; raise k_max/capacity_slack")
 
             md_states[j] = (jax.lax.stop_gradient(last), final_aux)
             if tag in train_list:

@@ -103,6 +103,64 @@ def test_gnn_md_with_prior_and_gradients(sys32):
     assert np.isfinite(total) and total > 0
 
 
+def test_onehot_aggregation_matches_gather():
+    """TPU fast path (gather_mode='onehot', hi/lo split matmul) must give
+    exactly the gather path's energy and near-identical forces."""
+    sys_ = System.from_lattice("fcc", 2, 2.9)
+    sys_.set_temperature(1.0 / units.kB, rng=np.random.default_rng(3))
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray(sys_.get_positions()
+                      + 0.08 * rng.standard_normal((32, 3)))
+    outs = {}
+    for mode in ("gather", "onehot"):
+        gnn = SchNet({**PARAMS, "gather_mode": mode})
+        inter = GNNPotentials(sys_, gnn, cutoff=2.5)
+        p = inter.init_params()
+        aux = inter.aux_init(xyz)
+        u = inter.energy(p, xyz, aux)
+        f = -jax.grad(inter.energy, argnums=1)(p, xyz, aux)
+        outs[mode] = (float(u), np.asarray(f))
+    np.testing.assert_allclose(outs["onehot"][0], outs["gather"][0],
+                               rtol=1e-5)
+    scale = np.abs(outs["gather"][1]).max()
+    np.testing.assert_allclose(outs["onehot"][1], outs["gather"][1],
+                               atol=5e-3 * scale + 1e-7)
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    sys_ = System.from_lattice("fcc", 2, 2.9)
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray(sys_.get_positions()
+                      + 0.08 * rng.standard_normal((32, 3)))
+    us = {}
+    for cdt in ("float32", "bf16"):
+        gnn = SchNet({**PARAMS, "compute_dtype": cdt})
+        inter = GNNPotentials(sys_, gnn, cutoff=2.5)
+        p = inter.init_params()
+        us[cdt] = float(inter.energy(p, xyz, inter.aux_init(xyz)))
+    assert np.isfinite(us["bf16"])
+    np.testing.assert_allclose(us["bf16"], us["float32"], rtol=2e-2)
+
+
+def test_primed_epoch_matches_stepwise(sys32):
+    """epoch_fn (primed force cache, no in-scan cond) must reproduce
+    manual step() calls with the cond-based cache."""
+    from mdgrad_tpu.md import NVE
+    pair = PairPotentials(sys32, potentials.ExcludedVolume(
+        sigma=0.9, epsilon=0.05, power=12), cutoff=1.6, mode="dense")
+    integ = NVE(pair, sys32, adjoint=False)
+    sim = Simulation(sys32, integ, wrap=False)
+    state, aux = sim.initial_state()
+    ode = sim.epoch_fn(dt=0.004, frequency=6)
+    traj, _ = ode(sim.params, state, aux, integ.default_ctrl())
+
+    s = state
+    for i in range(5):
+        s = integ.step(sim.params, s, aux, {}, i * 0.004, 0.004)
+    np.testing.assert_allclose(np.asarray(traj.q[-1]), np.asarray(s.q),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_atomwise_readout_keys(sys32):
     gnn = SchNet({**PARAMS, "readout_keys": ("energy", "energy_1")})
     z = jnp.asarray(sys32.get_atomic_numbers(), dtype=jnp.int32)
