@@ -21,6 +21,7 @@ Public surface mirrors the reference's concepts:
 from . import units
 from .system import System, check_system
 from . import lattice, topology, potentials, observables, thermo
+from . import profiling
 from .interface import (PairPotentials, TPairPotentials, GNNPotentials,
                         Electrostatics, BondPotentials, AnglePotentials,
                         Stack)

@@ -44,11 +44,13 @@ def _dist_tile(rows, cols, cell, row_ids, col_ids, cutoff_sq, n_real):
 
 def _fwd_kernel(n_col_tiles, n_real, n_bins,
                 xyz_row_ref, xyz_full_ref, cell_ref, cutoff_ref,
-                mu_ref, coeff_ref, counts_ref, row_axis=0):
+                mu_ref, coeff_ref, counts_ref, row_axis=0, frames=False):
     cutoff_sq = cutoff_ref[0] ** 2
     cell = (cell_ref[0], cell_ref[1], cell_ref[2])
     i0 = pl.program_id(row_axis) * TILE_R
-    rows = xyz_row_ref[:, :]
+    # frame-batched blocks carry a leading size-1 frame dim; index it at
+    # read time (a `.at[0]` ref transform crashes the Mosaic compiler)
+    rows = xyz_row_ref[0] if frames else xyz_row_ref[:, :]
     row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
 
     g_pad = mu_ref.shape[0]
@@ -56,7 +58,8 @@ def _fwd_kernel(n_col_tiles, n_real, n_bins,
     acc_col = jax.lax.broadcasted_iota(jnp.int32, (8, g_pad), 1)
 
     def col_body(c, acc):
-        cols = xyz_full_ref[:, pl.ds(c * TILE_C, TILE_C)]
+        cols = (xyz_full_ref[0, :, pl.ds(c * TILE_C, TILE_C)] if frames
+                else xyz_full_ref[:, pl.ds(c * TILE_C, TILE_C)])
         col_ids = c * TILE_C + jax.lax.broadcasted_iota(
             jnp.int32, (TILE_R, TILE_C), 1)
         r, valid, _ = _dist_tile(rows, cols, cell, row_ids, col_ids,
@@ -78,15 +81,17 @@ def _fwd_kernel(n_col_tiles, n_real, n_bins,
 
 def _bwd_kernel(n_col_tiles, n_real, n_bins,
                 xyz_row_ref, xyz_full_ref, cell_ref, cutoff_ref,
-                mu_ref, coeff_ref, ct_ref, dxyz_ref, row_axis=0):
+                mu_ref, coeff_ref, ct_ref, dxyz_ref, row_axis=0,
+                frames=False):
     cutoff_sq = cutoff_ref[0] ** 2
     cell = (cell_ref[0], cell_ref[1], cell_ref[2])
     i0 = pl.program_id(row_axis) * TILE_R
-    rows = xyz_row_ref[:, :]
+    rows = xyz_row_ref[0] if frames else xyz_row_ref[:, :]
     row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
 
     def col_body(c, f_acc):
-        cols = xyz_full_ref[:, pl.ds(c * TILE_C, TILE_C)]
+        cols = (xyz_full_ref[0, :, pl.ds(c * TILE_C, TILE_C)] if frames
+                else xyz_full_ref[:, pl.ds(c * TILE_C, TILE_C)])
         col_ids = c * TILE_C + jax.lax.broadcasted_iota(
             jnp.int32, (TILE_R, TILE_C), 1)
         r, valid, (dx, dy, dz) = _dist_tile(rows, cols, cell, row_ids,
@@ -112,7 +117,10 @@ def _bwd_kernel(n_col_tiles, n_real, n_bins,
 
     f = jax.lax.fori_loop(0, n_col_tiles, col_body,
                           jnp.zeros((3, TILE_R), jnp.float32))
-    dxyz_ref[:, :] = f
+    if frames:
+        dxyz_ref[0] = f
+    else:
+        dxyz_ref[:, :] = f
 
 
 def _round_up(x, m):
@@ -127,18 +135,18 @@ def _fwd_kernel_frames(n_col_tiles, n_real, n_bins,
     frames -- F separate pallas_calls; this is ONE call with grid
     (F, row_tiles), so the grid pipeline streams frames back-to-back)."""
     _fwd_kernel(n_col_tiles, n_real, n_bins,
-                xyz_row_ref.at[0], xyz_full_ref.at[0], cell_ref,
+                xyz_row_ref, xyz_full_ref, cell_ref,
                 cutoff_ref, mu_ref, coeff_ref, counts_ref,
-                row_axis=1)
+                row_axis=1, frames=True)
 
 
 def _bwd_kernel_frames(n_col_tiles, n_real, n_bins,
                        xyz_row_ref, xyz_full_ref, cell_ref, cutoff_ref,
                        mu_ref, coeff_ref, ct_ref, dxyz_ref):
     _bwd_kernel(n_col_tiles, n_real, n_bins,
-                xyz_row_ref.at[0], xyz_full_ref.at[0], cell_ref,
-                cutoff_ref, mu_ref, coeff_ref, ct_ref, dxyz_ref.at[0],
-                row_axis=1)
+                xyz_row_ref, xyz_full_ref, cell_ref,
+                cutoff_ref, mu_ref, coeff_ref, ct_ref, dxyz_ref,
+                row_axis=1, frames=True)
 
 
 def make_pallas_rdf(cell_len, mu, widths, cutoff, interpret=False):

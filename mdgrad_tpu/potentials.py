@@ -94,6 +94,26 @@ class ExcludedVolume(PairPotentialBase):
         return 4 * params["epsilon"] * (params["sigma"] / r) ** self.power
 
 
+class GaussianCore(PairPotentialBase):
+    """Bounded soft-core prior eps * exp(-(r/sigma)^2) (Stillinger
+    Gaussian-core model).  Suits fits whose target potential is itself
+    bounded at r=0 -- e.g. the 2-D stripe SplineOverlap (reference
+    potentials.py:123-149 caps at V0/(16 pi)): a hard r^-p prior there
+    teaches Boltzmann-inversion pretraining to cancel it wherever the
+    target g(r) > 0, leaving a cliff below the data range that blows up
+    the MD; a bounded prior has no cliff to cancel."""
+
+    def __init__(self, sigma=0.5, epsilon=2.0):
+        self.sigma, self.epsilon = sigma, epsilon
+
+    def init_params(self):
+        return {"sigma": jnp.asarray(self.sigma),
+                "epsilon": jnp.asarray(self.epsilon)}
+
+    def __call__(self, params, r):
+        return params["epsilon"] * jnp.exp(-(r / params["sigma"]) ** 2)
+
+
 class Buck(PairPotentialBase):
     """Buckingham A exp(-B r) - C r^-6 (reference potentials.py:354-365)."""
 

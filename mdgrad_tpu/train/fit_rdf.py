@@ -86,16 +86,21 @@ def get_system(data_tag, size, registry=None, rng=None):
     return sys
 
 
-def get_observer(system, data_tag, nbins, registry=None):
+def get_observer(system, data_tag, nbins, registry=None, backend="xla"):
     """(r_axis, g_obs, rdf observable) for a state point
-    (parity: reference fit_rdf_gnn.py:101-117)."""
+    (parity: reference fit_rdf_gnn.py:101-117).
+
+    backend="pallas" streams the soft histogram through the frame-batched
+    Pallas kernel -- required for high-resolution training (e.g. a-Si at
+    nbins=800 and N=512, where the dense (N, N, G) expansion would not
+    fit; see ops/pallas_rdf.py)."""
     registry = exp_rdf_data_dict if registry is None else registry
     entry = registry[data_tag]
     fn = entry.get("fn") or entry["rdf_fn"]
     data = np.loadtxt(fn, delimiter=",")
     start, end = entry["start"], entry["end"]
     x, g_obs = get_exp_rdf(data, nbins, (start, end))
-    obs = rdf_obs(system, nbins, (start, end))
+    obs = rdf_obs(system, nbins, (start, end), backend=backend)
     return x, jnp.asarray(g_obs), obs
 
 
@@ -168,7 +173,9 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
             params = sim.params
         else:
             sim.params = params  # shared potential across state points
-        x, g_obs, obs = get_observer(system, tag, nbins, registry)
+        x, g_obs, obs = get_observer(
+            system, tag, nbins, registry,
+            backend=assignments.get("rdf_backend", "xla"))
         systems.append(system)
         sims.append(sim)
         observers.append(obs)

@@ -142,11 +142,17 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
     # variant for systems whose ground truth has no attraction (the 2-D
     # stripe SplineOverlap: an attractive prior at kT = 0.07 collapses
     # the lattice before the MLP can counteract it)
-    if assignments.get("prior", "ljfamily") == "repulsive":
+    prior_kind = assignments.get("prior", "ljfamily")
+    if prior_kind == "repulsive":
         prior = pot_zoo.ExcludedVolume(
             epsilon=assignments.get("prior_epsilon", 1.0),
             sigma=assignments["sigma"],
             power=assignments.get("prior_power", 12))
+    elif prior_kind == "gauss":
+        # bounded soft core for bounded target families (2-D stripe)
+        prior = pot_zoo.GaussianCore(
+            epsilon=assignments.get("prior_epsilon", 2.0),
+            sigma=assignments["sigma"])
     else:
         prior = pot_zoo.LJFamily(epsilon=2.0, sigma=assignments["sigma"],
                                  rep_pow=6, attr_pow=3)
@@ -188,8 +194,13 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         # units entries registry_T_kelvin(T)*kB == the reduced kT, exact
         T_list = [registry_T_kelvin(registry[t]) for t in all_sys]
         r_lo = min(registry[t].get("start", 0.75) for t in all_sys)
-        pre_rrange = np.linspace(max(r_lo, 0.8 * assignments["sigma"]),
-                                 cutoff, 400)
+        # bounded (gauss) priors have no hard wall to keep the MLP honest
+        # below the data range, so constrain the regression further into
+        # the core (the BI target there is the slope-continued
+        # extrapolation from pretrain.boltzmann_inversion_targets)
+        pre_lo = (0.5 * r_lo if prior_kind == "gauss"
+                  else max(r_lo, 0.8 * assignments["sigma"]))
+        pre_rrange = np.linspace(pre_lo, cutoff, 400)
         params["pairnn"] = boltzmann_inversion_pretrain(
             net, params["pairnn"], prior, params["pair"],
             [o[0] for o in observers], [o[1] for o in observers],
@@ -231,7 +242,7 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
     for j, tag in enumerate(all_sys):
         sim = sims[j]
         entry = registry[tag]
-        dt = entry.get("dt", 0.01)
+        dt = sys_params.get("dt") or entry.get("dt", 0.01)
         ode = sim.epoch_fn(dt, tau)
         x, g_t, robs, vacf_t, vobs = observers[j]
         rdf_w = assignments.get("rdf_weight", 1.0)

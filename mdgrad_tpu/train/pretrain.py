@@ -19,15 +19,32 @@ from .. import units
 
 
 def boltzmann_inversion_targets(r_axis_list, g_obs_list, T_list,
-                                rrange, posinf=100.0):
-    """u_BI(r) per state point on a common grid, NaN/inf clamped
-    (reference fit_rdf_gnn.py:261-267)."""
+                                rrange, posinf=100.0, g_support=1e-3):
+    """u_BI(r) per state point on a common grid
+    (reference fit_rdf_gnn.py:261-267).
+
+    Bins with g <= ``g_support`` carry no information (the reference
+    clamps them to ``posinf``, which plants a 100-high cliff right at the
+    edge of the sampled region -- the regressed MLP then reproduces the
+    cliff and the first MD epoch blows through it).  Instead the core is
+    continued linearly from the slope at the first supported bins,
+    capped at ``posinf``: monotonically repulsive, no cliff."""
     pots = []
     for x, g, T in zip(r_axis_list, g_obs_list, T_list):
+        x = np.asarray(x)
+        g = np.asarray(g)
+        supported = g > g_support
+        if supported.sum() < 2:
+            raise ValueError("target RDF has <2 supported bins")
+        xs, gs = x[supported], g[supported]
         with np.errstate(divide="ignore"):
-            u = -units.kB * T * np.log(np.asarray(g))
-        u = np.nan_to_num(u, posinf=posinf, neginf=-posinf, nan=posinf)
-        pots.append(np.interp(rrange, np.asarray(x), u))
+            us = -units.kB * T * np.log(gs)
+        u = np.interp(rrange, xs, us)
+        core = rrange < xs[0]
+        if core.any():
+            slope = min((us[1] - us[0]) / max(xs[1] - xs[0], 1e-9), 0.0)
+            u[core] = us[0] + slope * (rrange[core] - xs[0])
+        pots.append(np.clip(u, -posinf, posinf))
     return np.stack(pots)
 
 

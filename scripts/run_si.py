@@ -24,6 +24,13 @@ def main():
     p.add_argument("-epsilon", type=float, default=0.05)
     p.add_argument("-sigma", type=float, default=2.0)
     p.add_argument("-lr", type=float, default=2e-4)
+    p.add_argument("-nbins", type=int, default=119)
+    p.add_argument("-rdf_backend", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="pallas streams the soft histogram; use for "
+                        "high-resolution (-nbins 800) refinement, where "
+                        "the training loss matches the 800-bin inference "
+                        "metric exactly")
     p.add_argument("-compute_dtype", type=str, default="float32")
     p.add_argument("--no_anneal", action="store_true")
     p.add_argument("--reset_opt", action="store_true",
@@ -41,7 +48,8 @@ def main():
         "cutoff": args.cutoff, "epsilon": args.epsilon,
         "gaussian_width": 0.125, "lr": args.lr,
         "n_atom_basis": "tiny", "n_filters": "low",
-        "n_convolutions": 3, "nbins": 119, "opt_freq": args.opt_freq,
+        "n_convolutions": 3, "nbins": args.nbins,
+        "rdf_backend": args.rdf_backend, "opt_freq": args.opt_freq,
         "sigma": args.sigma, "start_T": args.start_T, "anneal_freq": 2,
         "anneal_rate": args.anneal_rate,
         "compute_dtype": args.compute_dtype,

@@ -23,7 +23,7 @@ def main():
     p.add_argument("-cutoff", type=float, default=8.0)
     p.add_argument("-dt", type=float, default=0.005)
     p.add_argument("-lr", type=float, default=1e-3)
-    p.add_argument("-sigma", type=float, default=0.9)
+    p.add_argument("-sigma", type=float, default=0.55)
     p.add_argument("-pretrain", type=int, default=1000)
     p.add_argument("-nepochs", type=int, default=300)
     p.add_argument("--dry_run", action="store_true")
@@ -34,15 +34,18 @@ def main():
         "sigma": args.sigma, "gaussian_width": 0.1, "n_width": 128,
         "n_layers": 3, "nonlinear": "SELU",
         "rdf_weight": 1.0, "vacf_weight": 0.0, "train_vacf": "False",
-        # the SplineOverlap ground truth is purely repulsive; an
-        # attractive LJFamily prior collapses the kT=0.07 lattice
-        "prior": "repulsive", "prior_epsilon": 1.0,
+        # the SplineOverlap ground truth is BOUNDED at r=0 (soft core,
+        # V0/(16 pi) ~ 20); a hard r^-12 prior gets canceled by BI
+        # pretraining wherever the target g > 0, leaving a cliff below
+        # the data range -> first-epoch NaN.  Use the bounded
+        # GaussianCore prior instead (potentials.GaussianCore).
+        "prior": "gauss", "prior_epsilon": 2.0,
     }
     sys_params = {
         "size": 25, "cutoff": args.cutoff, "t_range": 20,
         "n_epochs": args.nepochs, "n_sim": 10, "data": args.data,
         "val": None, "topology_update_freq": 1,
-        "pretrain_iters": args.pretrain,
+        "pretrain_iters": args.pretrain, "dt": args.dt,
     }
     if args.dry_run:
         assignments["opt_freq"] = 11

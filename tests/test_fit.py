@@ -284,3 +284,38 @@ def test_fit_rdf_with_angle_target(synthetic_registry, tmp_path):
     fin = out["final"]["ljtest"]
     assert "angle_mse" in fin and np.isfinite(fin["angle_mse"])
     assert fin["angle_sim"].shape == (a_nbins,)
+
+
+def test_bi_targets_slope_extrapolated_core():
+    """Unsupported (g~0) core bins get a slope-continued repulsive wall,
+    not a posinf cliff (the cliff NaN'd the 2-D stripe fit at epoch 0)."""
+    from mdgrad_tpu.train.pretrain import boltzmann_inversion_targets
+    from mdgrad_tpu import units as u
+    r = np.linspace(0.0, 5.0, 50)
+    g = np.where(r < 1.0, 0.0, 1.0 + 0.5 * np.exp(-((r - 1.5) ** 2)))
+    g[r < 1.2] = np.where(r[r < 1.2] >= 1.0, 0.05, 0.0)
+    kT = 0.07
+    rr = np.linspace(0.3, 5.0, 200)
+    (t,) = boltzmann_inversion_targets([r], [g], [kT / u.kB], rr,
+                                       posinf=100.0)
+    assert np.isfinite(t).all()
+    core = t[rr < 1.0]
+    # monotone non-increasing into the core, no jump discontinuity
+    assert (np.diff(core) <= 1e-9).all()
+    assert core.max() <= 100.0 + 1e-6
+    steps = np.abs(np.diff(t))
+    assert steps.max() < 5.0  # the old clamp produced a ~100 jump
+    # supported region still matches -kT log g
+    mid = (rr > 1.4) & (rr < 4.5)
+    expect = -kT * np.log(np.interp(rr[mid], r, np.maximum(g, 1e-12)))
+    assert np.allclose(t[mid], expect, atol=0.05)
+
+
+def test_gaussian_core_prior_bounded():
+    gc = potentials.GaussianCore(sigma=0.55, epsilon=2.0)
+    p = gc.init_params()
+    r = jnp.linspace(1e-4, 5.0, 64)[:, None]
+    vals = np.asarray(gc(p, r)).squeeze(-1)
+    assert vals.max() <= 2.0 + 1e-6       # bounded at r -> 0
+    assert vals[-1] < 1e-8                # decays
+    assert (np.diff(vals) <= 0).all()     # monotone repulsive

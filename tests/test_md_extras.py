@@ -181,3 +181,26 @@ def test_pressure_ideal_gas():
     n_kT_over_V = (2 * float(thermo.kinetic_energy(
         jnp.asarray(sys_.get_velocities()), sys_.get_masses()))) / (3 * 1000.0)
     np.testing.assert_allclose(float(P), n_kT_over_V, rtol=1e-5)
+
+
+def test_profiling_helpers(tmp_path):
+    """SURVEY §5 tracing subsystem: trace context writes a profile dir;
+    Throughput and time_fn behave."""
+    import jax.numpy as jnp
+    from mdgrad_tpu import profiling
+
+    @jax.jit
+    def f(x):
+        return (x ** 2).sum()
+
+    x = jnp.arange(128.0)
+    with profiling.trace(str(tmp_path), host_only=True):
+        jax.block_until_ready(f(x))
+    assert any(tmp_path.rglob("*")), "trace wrote nothing"
+
+    tp = profiling.Throughput(unit="steps")
+    r = tp.update(10)
+    assert r > 0 and tp.total == 10 and "steps/s" in str(tp)
+
+    dt = profiling.time_fn(f, x, iters=3, warmup=1)
+    assert dt > 0
