@@ -25,6 +25,14 @@ def main():
     p.add_argument("-nruns", type=int, default=1)
     p.add_argument("--pair", action="store_true")
     p.add_argument("--tpair", action="store_true")
+    p.add_argument("--angle", action="store_true",
+                   help="add the water angle-distribution target "
+                        "(angle_data_dict, reference data.py:33-46,1007) "
+                        "as a second loss head")
+    p.add_argument("-angle_cutoff", type=float, default=3.7,
+                   help="O-O-O angle cutoff (2.7 or 3.7 select the "
+                        "deepcg target files)")
+    p.add_argument("-angle_weight", type=float, default=1.0)
     p.add_argument("--dry_run", action="store_true")
     p.add_argument("-compute_dtype", type=str, default="float32",
                    help="SchNet filter-net dtype (float32 | bf16)")
@@ -55,6 +63,12 @@ def main():
         "anneal_flag": "False", "pair_flag": args.pair,
         "tpair_flag": args.tpair, "topology_update_freq": 1,
     }
+    if args.angle:
+        assignments.update(angle_weight=args.angle_weight,
+                           angle_cutoff=args.angle_cutoff,
+                           angle_nbins=64, angle_start=0.5)
+        sys_params.update(angle_flag=True, angle_k_max=24)
+
     if args.dry_run:
         assignments["opt_freq"] = 25
         sys_params.update(n_epochs=2, n_sim=1, size=2, frame_skip=5,
