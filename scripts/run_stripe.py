@@ -26,11 +26,17 @@ def main():
     p.add_argument("-sigma", type=float, default=0.55)
     p.add_argument("-pretrain", type=int, default=1000)
     p.add_argument("-nepochs", type=int, default=300)
+    p.add_argument("-opt_freq", type=int, default=60,
+                   help="MD steps per epoch")
+    p.add_argument("-frame_skip", type=int, default=5,
+                   help="RDF frame subsampling; 1 averages every step "
+                        "(the per-epoch RDF estimator's noise floor sets "
+                        "the converged loss -- more frames, lower floor)")
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
     assignments = {
-        "nbins": 128, "opt_freq": 60, "lr": args.lr,
+        "nbins": 128, "opt_freq": args.opt_freq, "lr": args.lr,
         "sigma": args.sigma, "gaussian_width": 0.1, "n_width": 128,
         "n_layers": 3, "nonlinear": "SELU",
         "rdf_weight": 1.0, "vacf_weight": 0.0, "train_vacf": "False",
@@ -46,6 +52,7 @@ def main():
         "n_epochs": args.nepochs, "n_sim": 10, "data": args.data,
         "val": None, "topology_update_freq": 1,
         "pretrain_iters": args.pretrain, "dt": args.dt,
+        "frame_skip": args.frame_skip,
     }
     if args.dry_run:
         assignments["opt_freq"] = 11
