@@ -45,7 +45,10 @@ def bench(pot_name, system, steps=200, dt=0.002):
         pot = PallasLJPair(system, CUT, sigma=0.9, epsilon=1.0)
     integ = NVE(pot, system, adjoint=False)
     sim = Simulation(system, integ)
-    sim.simulate(steps=10, dt=dt, frequency=10)  # compile + warm
+    # compile + warm with the SAME shape that is timed (a different
+    # `steps` is a different XLA program)
+    traj = sim.simulate(steps=steps, dt=dt, frequency=steps)
+    jax.block_until_ready(traj.q)
     t0 = time.perf_counter()
     traj = sim.simulate(steps=steps, dt=dt, frequency=steps)
     jax.block_until_ready(traj.q)

@@ -268,6 +268,25 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         vgs.append(make())
         md_states.append(sim.initial_state())
 
+    # equilibration burn-in: run the MD forward (no parameter updates)
+    # until every state point sits in the pretrained potential's own
+    # equilibrium structure.  Without it the first gradient steps see
+    # melting-lattice trajectories whose adjoint gradients push the
+    # potential away from the (good) Boltzmann-inversion warm start --
+    # the multi-state loss then climbs from ~0.08/state to ~0.4/state
+    # and never recovers (round-1 "over-deepens" failure).
+    burnin = int(sys_params.get("burnin_epochs", 0))
+    if resume is None and burnin:
+        for j, tag in enumerate(all_sys):
+            state, aux = md_states[j]
+            ctrl = sims[j].integrator.default_ctrl()
+            for _ in range(burnin):
+                (_, (_, _, last, aux)), _ = vgs[j](params, state, aux,
+                                                   ctrl)
+                state = jax.lax.stop_gradient(last)
+            md_states[j] = (state, aux)
+        log(f"burn-in: {burnin} epochs x {len(all_sys)} states equilibrated")
+
     loss_log, obs_log = [], {t: {"rdf": [], "vacf": []} for t in all_sys}
     start_epoch = 0
     if resume is not None:

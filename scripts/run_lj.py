@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-logdir", type=str, default="outputs/lj")
-    p.add_argument("-data", type=str, nargs="+", default=["lj_0.7_0.4"])
+    p.add_argument("-data", type=str, nargs="+", default=["lj_0.7_1"])
     p.add_argument("-val", type=str, nargs="+", default=None)
     p.add_argument("-nruns", type=int, default=1)
     p.add_argument("-sigma", type=float, default=0.9)
@@ -29,6 +29,9 @@ def main():
     p.add_argument("-pretrain", type=int, default=1000)
     p.add_argument("-nepochs", type=int, default=300)
     p.add_argument("-size", type=int, default=4)
+    p.add_argument("-burnin", type=int, default=0,
+                   help="equilibration epochs (no parameter updates) "
+                        "after pretraining -- see fit_rdf_pair.fit_lj")
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
@@ -43,7 +46,7 @@ def main():
         "size": args.size, "cutoff": args.cutoff, "t_range": 50,
         "n_epochs": args.nepochs, "n_sim": 10, "data": args.data,
         "val": args.val, "topology_update_freq": args.update_freq,
-        "pretrain_iters": args.pretrain,
+        "pretrain_iters": args.pretrain, "burnin_epochs": args.burnin,
     }
     if args.dry_run:
         assignments["opt_freq"] = 21
