@@ -167,9 +167,9 @@ class GNNPotentials(Interaction):
         # has no such mechanism -- it rebuilds every step (md.py:112).
         self.skin = skin
         self.build_cutoff = cutoff + skin
-        if skin > 0 and nbr_mode != "table":
-            raise ValueError("skin > 0 requires nbr_mode='table' (the "
-                             "only mode with runtime cutoff re-masking)")
+        if skin > 0 and nbr_mode not in ("table", "cells"):
+            raise ValueError("skin > 0 requires nbr_mode='table'/'cells' "
+                             "(the modes with runtime cutoff re-masking)")
         self.cell = jnp.asarray(system.get_cell())
         self.z = jnp.asarray(system.get_atomic_numbers(), dtype=jnp.int32)
         n = system.get_number_of_atoms()
@@ -182,7 +182,28 @@ class GNNPotentials(Interaction):
         self.cell_len = (jnp.diag(self.cell)
                          if not self.store_offsets else None)
         xyz0 = jnp.asarray(system.get_positions())
-        if nbr_mode in ("topk", "table"):
+        if nbr_mode == "cells":
+            # (N, K) table built through the fixed-capacity cell list:
+            # per-atom top-k over the 27*M-candidate neighborhood instead
+            # of all N -- the >=10k-atom GNN edge builder (ops/cells.py)
+            if self.store_offsets:
+                raise ValueError("nbr_mode='cells' needs a diagonal cell")
+            if self.select_mask is not None:
+                raise ValueError("nbr_mode='cells' does not support "
+                                 "ex_pairs/index selections")
+            from .ops import cells as _cells
+            density = n / float(np.prod(np.diag(np.asarray(self.cell))))
+            self._cell_grid = _cells.make_cell_grid(
+                np.diag(np.asarray(self.cell)), self.build_cutoff,
+                density, slack=capacity_slack)
+            if k_max is None:
+                d, _ = topology.displacement_matrix(xyz0, self.cell)
+                dist_sq = (d ** 2).sum(-1) + jnp.eye(n) * 1e9
+                k0 = int(jnp.max((dist_sq < self.build_cutoff ** 2)
+                                 .sum(-1)))
+                k_max = int(np.ceil(max(k0, 1) * capacity_slack / 8) * 8)
+            self.k_max = min(k_max, n)
+        elif nbr_mode in ("topk", "table"):
             # per-atom capacity: max in-cutoff neighbor count x slack
             # (top_k list construction; see topology.generate_nbr_list_topk)
             if k_max is None:
@@ -203,6 +224,13 @@ class GNNPotentials(Interaction):
         return self.gnn.init_params(self.z)
 
     def aux_init(self, xyz):
+        if self.nbr_mode == "cells":
+            from .ops import cells as _cells
+            clist = _cells.build_cell_list(xyz, jnp.diag(self.cell),
+                                           self._cell_grid)
+            return _cells.neighbor_table_from_cells(
+                xyz, clist, self._cell_grid, jnp.diag(self.cell),
+                self.build_cutoff, self.k_max)
         if self.nbr_mode == "table":
             return topology.generate_neighbor_table(
                 xyz, self.build_cutoff, self.cell, self.k_max,
@@ -219,7 +247,7 @@ class GNNPotentials(Interaction):
 
     def energy(self, params, xyz, aux):
         nbrs = aux
-        if self.nbr_mode == "table":
+        if self.nbr_mode in ("table", "cells"):
             if self.store_offsets:
                 offsets_real = jnp.matmul(
                     nbrs.offsets, self.cell,

@@ -92,3 +92,24 @@ def test_cell_nve_matches_dense_trajectory(sys500):
         trajs[name] = np.asarray(traj.q)
     np.testing.assert_allclose(trajs["cells"], trajs["dense"], rtol=1e-4,
                                atol=1e-4)
+
+
+def test_gnn_cells_mode_matches_table_mode(sys500):
+    """GNNPotentials(nbr_mode='cells') -- the large-N edge builder --
+    must produce the same energies and forces as the dense top_k table."""
+    from mdgrad_tpu.nn import SchNet
+    from mdgrad_tpu.interface import GNNPotentials
+    gnn = SchNet({"n_atom_basis": 16, "n_filters": 16, "n_gaussians": 8,
+                  "n_convolutions": 2, "cutoff": CUT})
+    a = GNNPotentials(sys500, gnn, cutoff=CUT, nbr_mode="table", k_max=64)
+    b = GNNPotentials(sys500, gnn, cutoff=CUT, nbr_mode="cells", k_max=64)
+    p = a.init_params()
+    xyz = jnp.asarray(sys500.get_positions())
+    ea = a.energy(p, xyz, a.aux_init(xyz))
+    eb = b.energy(p, xyz, b.aux_init(xyz))
+    np.testing.assert_allclose(float(ea), float(eb), rtol=1e-5)
+    import jax
+    fa = jax.grad(lambda x: a.energy(p, x, a.aux_init(x)))(xyz)
+    fb = jax.grad(lambda x: b.energy(p, x, b.aux_init(x)))(xyz)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=1e-4, atol=1e-5)
