@@ -29,6 +29,15 @@ def main():
     p.add_argument("-pretrain", type=int, default=1000)
     p.add_argument("-nepochs", type=int, default=300)
     p.add_argument("-size", type=int, default=4)
+    p.add_argument("-opt_freq", type=int, default=120)
+    p.add_argument("-frame_skip", type=int, default=5,
+                   help="RDF frame subsampling: the training loss "
+                        "minimizes bias^2 + Var(g_hat); few frames make "
+                        "the variance term large, and ITS gradient "
+                        "rewards over-structured (low-variance) systems "
+                        "-- the classic over-deepened-well failure. "
+                        "frame_skip 1 averages every step")
+    p.add_argument("-grad_clip", type=float, default=10.0)
     p.add_argument("-burnin", type=int, default=0,
                    help="equilibration epochs (no parameter updates) "
                         "after pretraining -- see fit_rdf_pair.fit_lj")
@@ -36,9 +45,9 @@ def main():
     args = p.parse_args()
 
     assignments = {
-        "nbins": 100, "opt_freq": 120, "lr": args.lr,
+        "nbins": 100, "opt_freq": args.opt_freq, "lr": args.lr,
         "sigma": args.sigma, "gaussian_width": 0.1, "n_width": 128,
-        "n_layers": 3, "nonlinear": "SELU",
+        "n_layers": 3, "nonlinear": "SELU", "grad_clip": args.grad_clip,
         "rdf_weight": 1.0, "vacf_weight": args.vacf_weight,
         "train_vacf": "True" if args.vacf_weight > 0 else "False",
     }
@@ -47,6 +56,7 @@ def main():
         "n_epochs": args.nepochs, "n_sim": 10, "data": args.data,
         "val": args.val, "topology_update_freq": args.update_freq,
         "pretrain_iters": args.pretrain, "burnin_epochs": args.burnin,
+        "frame_skip": args.frame_skip,
     }
     if args.dry_run:
         assignments["opt_freq"] = 21
