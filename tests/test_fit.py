@@ -319,3 +319,27 @@ def test_gaussian_core_prior_bounded():
     assert vals.max() <= 2.0 + 1e-6       # bounded at r -> 0
     assert vals[-1] < 1e-8                # decays
     assert (np.diff(vals) <= 0).all()     # monotone repulsive
+
+
+def test_fit_lj_burnin_equilibrates_before_training():
+    """burnin_epochs advances MD state with no parameter change, then
+    training runs normally (multi-state over-deepening fix)."""
+    from mdgrad_tpu.train.fit_rdf_pair import fit_lj
+    registry = {"ljb": {"rho": 0.845, "T": 1.2, "start": 0.75, "end": 2.5,
+                        "element": "H", "mass": 1.0, "N_unitcell": 4,
+                        "cell": "fcc", "reduced_units": True, "dt": 0.01,
+                        "target_pot": ("LennardJones", {})}}
+    logs = []
+    out = fit_lj(
+        {"nbins": 40, "opt_freq": 16, "lr": 3e-3, "sigma": 0.9,
+         "gaussian_width": 0.1, "n_width": 24, "n_layers": 1,
+         "nonlinear": "SELU", "rdf_weight": 1.0, "vacf_weight": 0.0,
+         "train_vacf": "False"},
+        {"size": 2, "cutoff": 2.5, "t_range": 10, "n_epochs": 2,
+         "n_sim": 1, "data": ["ljb"], "val": None, "target_nsim": 4,
+         "frame_skip": 4, "burnin_epochs": 3},
+        registry=registry, rng=np.random.default_rng(2),
+        log=logs.append)
+    assert not out.get("nan_bailout", False)
+    assert any("burn-in: 3 epochs" in str(m) for m in logs)
+    assert len(out["loss_log"]) == 2
