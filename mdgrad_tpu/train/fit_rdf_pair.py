@@ -287,6 +287,16 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             md_states[j] = (state, aux)
         log(f"burn-in: {burnin} epochs x {len(all_sys)} states equilibrated")
 
+    # periodic state reset: sub-critical low-density state points
+    # (e.g. LJ rho 0.3-0.5 at T 1.2 < Tc ~ 1.31) are METASTABLE uniform
+    # fluids -- their reference targets are short homogeneous runs, but a
+    # state carried across hundreds of epochs eventually nucleates a
+    # droplet, the contact peak explodes, and the summed gradient drags
+    # the shared potential away for every state.  Restoring the stored
+    # post-burn-in snapshots every K epochs keeps sampling on the same
+    # metastable branch the targets were generated from.
+    reset_every = int(sys_params.get("state_reset_every", 0))
+
     loss_log, obs_log = [], {t: {"rdf": [], "vacf": []} for t in all_sys}
     start_epoch = 0
     if resume is not None:
@@ -301,7 +311,13 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         for sim in sims:
             sim.params = params
         log(f"resumed from checkpoint at epoch {resume['epoch']}")
+    eq_states = ([jax.tree_util.tree_map(lambda a: a, s)
+                  for s in md_states] if reset_every else None)
     for epoch in range(start_epoch, n_epochs):
+        if (reset_every and epoch > start_epoch
+                and (epoch - start_epoch) % reset_every == 0):
+            md_states = [jax.tree_util.tree_map(lambda a: a, s)
+                         for s in eq_states]
         total = 0.0
         grads_acc = zero_grads
         for j, tag in enumerate(all_sys):

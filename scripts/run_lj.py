@@ -41,6 +41,11 @@ def main():
     p.add_argument("-burnin", type=int, default=0,
                    help="equilibration epochs (no parameter updates) "
                         "after pretraining -- see fit_rdf_pair.fit_lj")
+    p.add_argument("-state_reset_every", type=int, default=0,
+                   help="restore post-burn-in MD snapshots every K "
+                        "epochs (keeps sub-critical low-density states "
+                        "on the metastable uniform branch their targets "
+                        "sampled; see fit_rdf_pair.fit_lj)")
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
@@ -57,6 +62,7 @@ def main():
         "val": args.val, "topology_update_freq": args.update_freq,
         "pretrain_iters": args.pretrain, "burnin_epochs": args.burnin,
         "frame_skip": args.frame_skip,
+        "state_reset_every": args.state_reset_every,
     }
     if args.dry_run:
         assignments["opt_freq"] = 21

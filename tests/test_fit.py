@@ -343,3 +343,26 @@ def test_fit_lj_burnin_equilibrates_before_training():
     assert not out.get("nan_bailout", False)
     assert any("burn-in: 3 epochs" in str(m) for m in logs)
     assert len(out["loss_log"]) == 2
+
+
+def test_fit_lj_state_reset(tmp_path):
+    """state_reset_every restores post-burn-in snapshots during training
+    (metastable low-density state points stay on the uniform branch)."""
+    from mdgrad_tpu.train.fit_rdf_pair import fit_lj
+    registry = {"ljr": {"rho": 0.845, "T": 1.2, "start": 0.75, "end": 2.5,
+                        "element": "H", "mass": 1.0, "N_unitcell": 4,
+                        "cell": "fcc", "reduced_units": True, "dt": 0.01,
+                        "target_pot": ("LennardJones", {})}}
+    out = fit_lj(
+        {"nbins": 40, "opt_freq": 16, "lr": 3e-3, "sigma": 0.9,
+         "gaussian_width": 0.1, "n_width": 24, "n_layers": 1,
+         "nonlinear": "SELU", "rdf_weight": 1.0, "vacf_weight": 0.0,
+         "train_vacf": "False"},
+        {"size": 2, "cutoff": 2.5, "t_range": 10, "n_epochs": 4,
+         "n_sim": 1, "data": ["ljr"], "val": None, "target_nsim": 4,
+         "frame_skip": 4, "burnin_epochs": 1, "state_reset_every": 2},
+        registry=registry, rng=np.random.default_rng(2),
+        log=lambda *a: None)
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 4
+    assert np.isfinite(out["loss_log"]).all()
