@@ -72,3 +72,23 @@ class FitCheckpointer:
         os.replace(tmp, out)  # no truncated blobs on mid-write death
         for old in self._files()[:-self.keep]:
             os.remove(old)
+
+    def save_best(self, epoch, loss, params):
+        """Persist ``best.pkl`` whenever ``loss`` beats the stored best
+        (trajectory fits oscillate around their noise floor -- the final
+        epoch is rarely the best one; mirrors the supervised Trainer's
+        best-model file, train/supervised.py)."""
+        if not self.path:
+            return
+        best_path = os.path.join(self.path, "best.pkl")
+        prev = None
+        if os.path.exists(best_path):
+            with open(best_path, "rb") as f:
+                prev = pickle.load(f)
+        if prev is not None and prev["loss"] <= loss:
+            return
+        tmp = best_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({"epoch": epoch, "loss": float(loss),
+                         "params": _to_np(params)}, f)
+        os.replace(tmp, best_path)

@@ -341,6 +341,7 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             sim.params = params
         loss_log.append(total)
         log(f"epoch {epoch} | loss: {total:.6f}")
+        ckpt.save_best(epoch, total, params)
         ckpt.maybe_save(epoch, params, opt_state, md_states,
                         {"loss_log": loss_log, "obs_log": obs_log})
 
@@ -359,15 +360,38 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
                             jnp.asarray(r_grid)[:, None])).squeeze(-1)
         u_target = u_t - u_t[-1]
 
+    # best-epoch potential (trajectory fits oscillate around their noise
+    # floor; best.pkl tracks the lowest-loss epoch)
+    u_best, best_info = None, None
+    if model_path and os.path.exists(os.path.join(model_path, "best.pkl")):
+        import pickle
+        with open(os.path.join(model_path, "best.pkl"), "rb") as f:
+            best_info = pickle.load(f)
+        bp = jax.device_put(best_info["params"])
+        u_best = (np.asarray(net(bp["pairnn"],
+                                 jnp.asarray(r_grid)[:, None])).squeeze(-1)
+                  + np.asarray(prior(bp["pair"],
+                                     jnp.asarray(r_grid)[:, None]))
+                  .squeeze(-1))
+        u_best = u_best - u_best[-1]
+
     results = {"loss_log": loss_log, "obs_log": obs_log, "params": params,
                "r_grid": r_grid, "u_fit": u_fit, "u_target": u_target,
+               "u_best": u_best,
+               "best_epoch": best_info["epoch"] if best_info else None,
+               "best_loss": best_info["loss"] if best_info else None,
                "objective": loss_log[-1] if loss_log else float("nan")}
     if model_path:
         np.savetxt(os.path.join(model_path, "loss.txt"),
                    np.asarray(loss_log))
         np.savetxt(os.path.join(model_path, "potential.txt"),
                    np.vstack([r_grid, u_fit]))
+        if u_best is not None:
+            np.savetxt(os.path.join(model_path, "potential_best.txt"),
+                       np.vstack([r_grid, u_best]))
         from .plots import plot_pair, plot_loss
         plot_pair(r_grid, u_fit, u_target, "final", model_path)
+        if u_best is not None:
+            plot_pair(r_grid, u_best, u_target, "best", model_path)
         plot_loss(loss_log, model_path)
     return results
