@@ -76,7 +76,8 @@ def _finalize_ct(primal, acc):
 
 
 def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
-                adjoint=True, reverse_step_fn=None):
+                adjoint=True, reverse_step_fn=None,
+                skip_first_refresh=False):
     """Build ``odeint(params, state0, aux0, ctrl) -> (traj, final_aux)``.
 
     step_fn:       (params, state, aux, ctrl, i) -> state   (one dt step)
@@ -100,6 +101,13 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
                    steppers up to float roundoff accumulation; the stored-
                    frame replay (default) is bitwise-stable and preferred
                    unless memory demands otherwise.
+    skip_first_refresh: caller guarantees ``aux0`` is already fresh at
+                   ``state0`` (e.g. prime_state refreshed it); with
+                   update_freq > 1 the step-0 rebuild is skipped (the
+                   refresh schedule becomes i > 0 and i % freq == 0).
+                   With update_freq == 1 it is ignored: avoiding one
+                   duplicate (deterministic, identical) build is not worth
+                   inserting an XLA conditional into every scan step.
 
     Gradients flow to params, state0 and ctrl; not through aux.
     """
@@ -110,7 +118,10 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
     def _refresh(i, state, aux):
         if update_freq == 1:
             return aux_update_fn(state, aux)
-        return jax.lax.cond(i % update_freq == 0,
+        pred = i % update_freq == 0
+        if skip_first_refresh:
+            pred = pred & (i > 0)
+        return jax.lax.cond(pred,
                             lambda: aux_update_fn(state, aux),
                             lambda: aux)
 

@@ -114,12 +114,18 @@ class _MDIntegrator:
         """Fill the force cache with a fresh evaluation (used once at epoch
         entry so the in-scan stepper never branches on ``fv`` -- an XLA
         ``conditional`` inside the scan blocks fusion and costs ~20% of
-        the whole fwd+bwd epoch on TPU, measured via jax.profiler)."""
+        the whole fwd+bwd epoch on TPU, measured via jax.profiler).
+
+        Returns ``(state, aux)`` with the refreshed aux so callers can run
+        the epoch on the same topology the cached force was computed from
+        (they agree by determinism even when the scan refreshes again at
+        step 0, but returning it lets update_freq > 1 epochs skip that
+        duplicate build -- see Simulation.epoch_fn)."""
         if not (self.force_cache and hasattr(state, "fv")):
-            return state
+            return state, aux
         aux = self.model.aux_update(state.q, aux)
         f = self.force(params, state.q, aux)
-        return state._replace(f=f, fv=jnp.ones(()))
+        return state._replace(f=f, fv=jnp.ones(())), aux
 
     def step(self, params, state, aux, ctrl, t, dt, method=None,
              primed=False):

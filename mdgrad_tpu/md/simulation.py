@@ -80,16 +80,20 @@ class Simulation:
                                      n_steps=max(int(frequency) - 1, 1),
                                      update_freq=integ.topology_update_freq,
                                      adjoint=bool(integ.adjoint),
-                                     reverse_step_fn=reverse_step)
+                                     reverse_step_fn=reverse_step,
+                                     skip_first_refresh=can_prime)
             if can_prime:
                 # refresh the force cache once at epoch entry: the
                 # in-scan stepper then reads state.f unconditionally (no
                 # XLA conditional inside the scan), and epoch-boundary
-                # restarts never reuse a stale-params force
+                # restarts never reuse a stale-params force.  prime_state
+                # returns the refreshed aux; the scan's step-0 topology is
+                # that same build (skip_first_refresh), so the cached force
+                # and the in-scan neighbor list always agree
                 raw_ode = ode
 
                 def ode(params, state, aux, ctrl):
-                    state = integ.prime_state(params, state, aux)
+                    state, aux = integ.prime_state(params, state, aux)
                     return raw_ode(params, state, aux, ctrl)
 
             self._ode_cache[key] = jax.jit(ode)
@@ -120,6 +124,26 @@ class Simulation:
             state = state._replace(q=q)
         return state
 
+    def _check_overflow(self):
+        """Surface neighbor-capacity overflow at epoch boundaries.
+
+        Fixed-capacity lists (NeighborList/NeighborTable/CellList) drop
+        neighbors silently past capacity; the aux carries an ``overflow``
+        flag but nothing on the standalone MD path used to read it.  Warn
+        once per Simulation -- results after the first overflow epoch are
+        untrustworthy until k_max/capacity_slack is raised."""
+        from .. import topology
+        if getattr(self, "_overflow_warned", False):
+            return
+        if topology.aux_overflow(self.aux):
+            import warnings
+            self._overflow_warned = True
+            warnings.warn(
+                "neighbor capacity overflow during Simulation.simulate: "
+                "neighbors were dropped and forces are incomplete -- "
+                "raise k_max/capacity/capacity_slack on the interaction",
+                stacklevel=3)
+
     def simulate(self, steps=1, dt=1.0 * units.fs, frequency=1, ctrl=None):
         """Run ``steps // frequency`` epochs; returns the final epoch's
         trajectory pytree (fields stacked over frequency frames)."""
@@ -135,6 +159,7 @@ class Simulation:
         traj = None
         for _ in range(sim_epochs):
             traj, self.aux = ode(self.params, self.state, self.aux, ctrl)
+            self._check_overflow()
             if hasattr(self.integrator, "advance_ctrl"):
                 ctrl = self.integrator.advance_ctrl(
                     ctrl, max(int(frequency) - 1, 1))
@@ -152,8 +177,9 @@ Simulations = Simulation
 
 
 def make_odeint_cached(step_fn, aux_update, n_steps, update_freq, adjoint,
-                       reverse_step_fn=None):
+                       reverse_step_fn=None, skip_first_refresh=False):
     from .adjoint import make_odeint
     return make_odeint(step_fn, aux_update, n_steps,
                        update_freq=update_freq, adjoint=adjoint,
-                       reverse_step_fn=reverse_step_fn)
+                       reverse_step_fn=reverse_step_fn,
+                       skip_first_refresh=skip_first_refresh)

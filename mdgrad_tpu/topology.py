@@ -349,6 +349,27 @@ def compute_dis(xyz, nbr_idx, offsets, cell):
     return jnp.sqrt(dist_sq)[:, None]
 
 
+def aux_overflow(aux):
+    """True if any neighbor structure in an aux pytree overflowed.
+
+    Works for a bare NeighborList/NeighborTable/CellList-style NamedTuple
+    (anything with an ``overflow`` leaf), a Stack's dict of child auxes,
+    or arbitrary nesting of those.  Host-side helper (forces a sync);
+    drivers poll it at epoch boundaries -- overflow means neighbors were
+    silently dropped and results are invalid until capacity is raised.
+    """
+    if aux is None or (isinstance(aux, tuple) and len(aux) == 0):
+        return False
+    if isinstance(aux, dict):
+        return any(aux_overflow(a) for a in aux.values())
+    if isinstance(aux, (list, tuple)) and not hasattr(aux, "_fields"):
+        return any(aux_overflow(a) for a in aux)
+    ov = getattr(aux, "overflow", None)
+    if ov is None:
+        return False
+    return bool(np.any(np.asarray(ov)))
+
+
 def get_offsets(vecs, cell_len):
     """Re-wrap bond vectors for a diagonal cell (reference topology.py:75-80).
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from .. import units, potentials as pot_zoo
+from ..topology import aux_overflow
 from ..system import System
 from ..lattice import ATOMS_PER_UNITCELL
 from ..interface import (PairPotentials, TPairPotentials, GNNPotentials,
@@ -371,9 +372,14 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         for sim in sims:
             sim.params = params
         log(f"resumed from checkpoint at epoch {resume['epoch']}")
+    # overflow_policy: 'warn' logs and continues; 'skip' additionally
+    # drops the epoch's parameter update -- gradients computed from a
+    # neighbor-dropping trajectory are corrupt, not merely noisy
+    overflow_policy = sys_params.get("overflow_policy", "warn")
     for epoch in range(start_epoch, n_epochs):
         total_loss = 0.0
         grads_acc = zero_grads
+        epoch_overflow = False
         for j, tag in enumerate(all_sys):
             sim = sims[j]
             integ = sim.integrator
@@ -395,12 +401,14 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                 log(f"NaN bailout at epoch {epoch} ({tag})")
                 return {"objective": 5 - (epoch / n_epochs) * 5,
                         "nan_bailout": True, "loss_log": loss_log}
-            for key, a in (final_aux.items()
-                           if isinstance(final_aux, dict) else ()):
-                if hasattr(a, "overflow") and bool(a.overflow):
-                    log(f"WARNING: neighbor capacity overflow in "
-                        f"'{key}' ({tag}, epoch {epoch}) -- results "
-                        "drop neighbors; raise k_max/capacity_slack")
+            # aux may be a Stack's dict of child auxes or a bare
+            # NeighborList/NeighborTable NamedTuple; both carry overflow
+            if aux_overflow(final_aux):
+                log(f"WARNING: neighbor capacity overflow ({tag}, epoch "
+                    f"{epoch}) -- results drop neighbors; raise "
+                    "k_max/capacity_slack")
+                if tag in train_list:
+                    epoch_overflow = True
 
             md_states[j] = (jax.lax.stop_gradient(last), final_aux)
             if tag in train_list:
@@ -408,8 +416,12 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                 js_log.append(float(JS_rdf(targets[j], g)))
                 grads_acc = tree_add(grads_acc, grads)
 
-        params, opt_state = apply_update(grads_acc, opt_state, params,
-                                         jnp.asarray(total_loss))
+        if epoch_overflow and overflow_policy == "skip":
+            log(f"epoch {epoch}: parameter update skipped "
+                "(overflow_policy='skip')")
+        else:
+            params, opt_state = apply_update(grads_acc, opt_state, params,
+                                             jnp.asarray(total_loss))
         for sim in sims:
             sim.params = params
         loss_log.append(total_loss)

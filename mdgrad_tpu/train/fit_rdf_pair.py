@@ -329,6 +329,10 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
                 log(f"NaN bailout at epoch {epoch} ({tag})")
                 return {"objective": 5 - (epoch / n_epochs) * 5,
                         "nan_bailout": True, "loss_log": loss_log}
+            from ..topology import aux_overflow
+            if aux_overflow(faux):
+                log(f"WARNING: neighbor capacity overflow ({tag}, epoch "
+                    f"{epoch}) -- raise capacity/capacity_slack")
             md_states[j] = (jax.lax.stop_gradient(last), faux)
             obs_log[tag]["rdf"].append(np.asarray(g))
             obs_log[tag]["vacf"].append(np.asarray(vacf_sim))

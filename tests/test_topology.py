@@ -132,3 +132,39 @@ def test_angle_triples_count():
     assert int(mask.sum()) == 1
     t = np.asarray(triples)[np.asarray(mask)]
     assert t[0, 1] == 1  # apex is the middle atom
+
+
+def test_aux_overflow_traversal():
+    import jax.numpy as jnp
+    ok = topology.NeighborTable(table=jnp.zeros((2, 2), jnp.int32),
+                                offsets=(), mask=jnp.ones((2, 2), bool),
+                                overflow=jnp.asarray(False))
+    bad = ok._replace(overflow=jnp.asarray(True))
+    assert not topology.aux_overflow(ok)
+    assert topology.aux_overflow(bad)
+    # Stack-style dict aux, arbitrary nesting, empty aux
+    assert not topology.aux_overflow(())
+    assert not topology.aux_overflow({"nn": ok, "prior": ()})
+    assert topology.aux_overflow({"nn": ok, "prior": {"inner": bad}})
+
+
+def test_simulation_warns_on_overflow(fcc_system):
+    # k_max=1 guarantees dropped neighbors in an fcc lattice (12 within
+    # first shell): Simulation.simulate must surface the overflow
+    import warnings
+    from mdgrad_tpu.system import System
+    from mdgrad_tpu.interface import GNNPotentials
+    from mdgrad_tpu.md import NVE, Simulation
+    from mdgrad_tpu.nn import SchNet
+
+    xyz, cell = fcc_system
+    system = System(np.asarray(xyz), cell)
+    system.set_temperature(50.0, rng=np.random.default_rng(0))
+    gnn = SchNet({"n_atom_basis": 8, "n_filters": 8, "n_gaussians": 8,
+                  "n_convolutions": 1, "cutoff": 2.0})
+    inter = GNNPotentials(system, gnn, cutoff=2.0, k_max=1)
+    sim = Simulation(system, NVE(inter, system))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sim.simulate(steps=2, dt=0.001, frequency=2)
+    assert any("overflow" in str(w.message) for w in rec)
