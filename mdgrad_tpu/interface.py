@@ -37,18 +37,26 @@ from .system import check_system
 
 
 class Interaction:
-    """Base class for the functional interaction contract."""
+    """Base class for the functional interaction contract.
+
+    The optional ``cell`` keyword (accepted by the PBC-aware subclasses)
+    overrides the baked-in simulation cell with a *dynamic* -- possibly
+    traced -- diagonal cell, given as (3,) lengths.  It exists so one
+    compiled program can serve many state points with different boxes
+    (see :class:`WithDynamicCell` and ``parallel/multistate.py``); plain
+    single-state callers never pass it and pay nothing.
+    """
 
     def init_params(self):
         return {}
 
-    def aux_init(self, xyz):
+    def aux_init(self, xyz, cell=None):
         return ()
 
-    def aux_update(self, xyz, aux):
+    def aux_update(self, xyz, aux, cell=None):
         return aux
 
-    def energy(self, params, xyz, aux):
+    def energy(self, params, xyz, aux, cell=None):
         raise NotImplementedError
 
 
@@ -97,24 +105,27 @@ class PairPotentials(Interaction):
     def init_params(self):
         return self.model.init_params()
 
-    def aux_init(self, xyz):
+    def aux_init(self, xyz, cell=None):
         if self.mode == "dense":
             return ()
+        cell = self.cell if cell is None else cell
         return topology.generate_nbr_list(
-            xyz, self.cutoff, self.cell, self.capacity, self.select_mask)
+            xyz, self.cutoff, cell, self.capacity, self.select_mask)
 
-    def aux_update(self, xyz, aux):
+    def aux_update(self, xyz, aux, cell=None):
         if self.mode == "dense":
             return ()
+        cell = self.cell if cell is None else cell
         return topology.generate_nbr_list(
-            xyz, self.cutoff, self.cell, self.capacity, self.select_mask)
+            xyz, self.cutoff, cell, self.capacity, self.select_mask)
 
     def _pair_energy(self, params, r):
         return self.model(params, r)
 
-    def energy(self, params, xyz, aux):
+    def energy(self, params, xyz, aux, cell=None):
+        cell = self.cell if cell is None else cell
         if self.mode == "dense":
-            dist, valid = topology.distance_matrix(xyz, self.cell)
+            dist, valid = topology.distance_matrix(xyz, cell)
             n = dist.shape[-1]
             mask = valid & jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
             mask = mask & (dist < self.cutoff)
@@ -124,7 +135,7 @@ class PairPotentials(Interaction):
             u = self._pair_energy(params, safe[..., None]).squeeze(-1)
             return jnp.where(mask, u, 0.0).sum()
         nbrs = aux
-        r = topology.compute_dis(xyz, nbrs.idx, nbrs.offsets, self.cell)
+        r = topology.compute_dis(xyz, nbrs.idx, nbrs.offsets, cell)
         u = self._pair_energy(params, r).squeeze(-1)
         return jnp.where(nbrs.mask, u, 0.0).sum()
 
@@ -223,7 +234,10 @@ class GNNPotentials(Interaction):
     def init_params(self):
         return self.gnn.init_params(self.z)
 
-    def aux_init(self, xyz):
+    def aux_init(self, xyz, cell=None):
+        if cell is not None and self.nbr_mode != "table":
+            raise ValueError("dynamic cell override requires "
+                             "nbr_mode='table'")
         if self.nbr_mode == "cells":
             from .ops import cells as _cells
             clist = _cells.build_cell_list(xyz, jnp.diag(self.cell),
@@ -233,7 +247,8 @@ class GNNPotentials(Interaction):
                 self.build_cutoff, self.k_max)
         if self.nbr_mode == "table":
             return topology.generate_neighbor_table(
-                xyz, self.build_cutoff, self.cell, self.k_max,
+                xyz, self.build_cutoff,
+                self.cell if cell is None else cell, self.k_max,
                 self.select_mask, store_offsets=self.store_offsets)
         if self.nbr_mode == "topk":
             return topology.generate_nbr_list_topk(
@@ -242,11 +257,15 @@ class GNNPotentials(Interaction):
         return topology.generate_nbr_list(
             xyz, self.cutoff, self.cell, self.capacity, self.select_mask)
 
-    def aux_update(self, xyz, aux):
-        return self.aux_init(xyz)
+    def aux_update(self, xyz, aux, cell=None):
+        return self.aux_init(xyz, cell=cell)
 
-    def energy(self, params, xyz, aux):
+    def energy(self, params, xyz, aux, cell=None):
         nbrs = aux
+        if cell is not None and not (self.nbr_mode == "table"
+                                     and not self.store_offsets):
+            raise ValueError("dynamic cell override requires "
+                             "nbr_mode='table' with a diagonal cell")
         if self.nbr_mode in ("table", "cells"):
             if self.store_offsets:
                 offsets_real = jnp.matmul(
@@ -260,7 +279,8 @@ class GNNPotentials(Interaction):
                                    runtime_cutoff=(self.cutoff
                                                    if self.skin > 0
                                                    else None),
-                                   cell_len=self.cell_len)
+                                   cell_len=(self.cell_len if cell is None
+                                             else cell))
         offsets_real = jnp.matmul(nbrs.offsets, self.cell,
                                   precision=jax.lax.Precision.HIGHEST)
         return self.gnn.energy(params, self.z, xyz, nbrs.idx, offsets_real,
@@ -290,8 +310,9 @@ class Electrostatics(Interaction):
         EV_TO_J = 1.60210e-19
         self.conversion = k_e * units.C ** -2 * (1 / EV_TO_J) * units.m
 
-    def energy(self, params, xyz, aux):
-        dist, valid = topology.distance_matrix(xyz, self.cell)
+    def energy(self, params, xyz, aux, cell=None):
+        dist, valid = topology.distance_matrix(
+            xyz, self.cell if cell is None else cell)
         n = dist.shape[-1]
         mask = valid & jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
         mask = mask & (dist < self.cutoff)
@@ -311,9 +332,10 @@ class BondPotentials(Interaction):
         self.top = jnp.asarray(top, dtype=jnp.int32)
         self.k, self.ro = k, ro
 
-    def energy(self, params, xyz, aux):
+    def energy(self, params, xyz, aux, cell=None):
         vec = xyz[self.top[:, 0]] - xyz[self.top[:, 1]]
-        vec = topology.wrap_bond_vectors(vec, self.cell_len)
+        vec = topology.wrap_bond_vectors(
+            vec, self.cell_len if cell is None else cell)
         bond_sq = (vec ** 2).sum(-1)
         # note: the reference penalizes (r^2 - ro)^2 -- squared distance vs
         # target length (interface.py:448-453); we keep that exact form for
@@ -330,11 +352,12 @@ class AnglePotentials(Interaction):
         self.top = jnp.asarray(top, dtype=jnp.int32)
         self.k, self.thetao = k, thetao
 
-    def energy(self, params, xyz, aux):
+    def energy(self, params, xyz, aux, cell=None):
+        cl = self.cell_len if cell is None else cell
         v1 = xyz[self.top[:, 0]] - xyz[self.top[:, 1]]
         v2 = xyz[self.top[:, 2]] - xyz[self.top[:, 1]]
-        v1 = topology.wrap_bond_vectors(v1, self.cell_len)
-        v2 = topology.wrap_bond_vectors(v2, self.cell_len)
+        v1 = topology.wrap_bond_vectors(v1, cl)
+        v2 = topology.wrap_bond_vectors(v2, cl)
         dot = (v1 * v2).sum(-1)
         norm = jnp.sqrt((v1 ** 2).sum(-1) * (v2 ** 2).sum(-1))
         # clamp like the reference's acos guards (modules.py:188 cos/1.000001)
@@ -356,15 +379,61 @@ class Stack(Interaction):
     def init_params(self):
         return {k: m.init_params() for k, m in self.models.items()}
 
-    def aux_init(self, xyz):
-        return {k: m.aux_init(xyz) for k, m in self.models.items()}
-
-    def aux_update(self, xyz, aux):
-        return {k: m.aux_update(xyz, aux[k])
+    def aux_init(self, xyz, cell=None):
+        if cell is None:
+            return {k: m.aux_init(xyz) for k, m in self.models.items()}
+        return {k: m.aux_init(xyz, cell=cell)
                 for k, m in self.models.items()}
 
-    def energy(self, params, xyz, aux):
+    def aux_update(self, xyz, aux, cell=None):
+        if cell is None:
+            return {k: m.aux_update(xyz, aux[k])
+                    for k, m in self.models.items()}
+        return {k: m.aux_update(xyz, aux[k], cell=cell)
+                for k, m in self.models.items()}
+
+    def energy(self, params, xyz, aux, cell=None):
         total = 0.0
         for k, m in self.models.items():
-            total = total + m.energy(params[k], xyz, aux[k])
+            if cell is None:
+                total = total + m.energy(params[k], xyz, aux[k])
+            else:
+                total = total + m.energy(params[k], xyz, aux[k], cell=cell)
         return total
+
+
+class WithDynamicCell(Interaction):
+    """Carry the simulation cell in the aux pytree.
+
+    Adapts any cell-kwarg-aware interaction (PairPotentials /
+    GNNPotentials / Stack) to the plain ``(params, xyz, aux)`` contract
+    with the cell as *runtime data*: ``aux = (cell_len, inner_aux)``.
+    Because integrators thread aux through every step untouched, the SAME
+    compiled stepper (md/integrators.py, force cache and all) then serves
+    any number of state points with different boxes -- the enabling piece
+    of the sharded multi-state fit (parallel/multistate.py), where the
+    reference loops state points serially on one GPU
+    (/root/reference/scripts/fit_rdf_gnn.py:388).
+
+    ``cell_len`` is the (3,) diagonal lengths (2-D systems pad to 3).
+    Gradients do not flow into the cell (it rides aux, which is data).
+    """
+
+    def __init__(self, base, cell_len0):
+        self.base = base
+        self.cell_len0 = jnp.asarray(cell_len0)
+
+    def init_params(self):
+        return self.base.init_params()
+
+    def aux_init(self, xyz, cell=None):
+        c = self.cell_len0 if cell is None else jnp.asarray(cell)
+        return (c, self.base.aux_init(xyz, cell=c))
+
+    def aux_update(self, xyz, aux, cell=None):
+        c = aux[0] if cell is None else jnp.asarray(cell)
+        return (c, self.base.aux_update(xyz, aux[1], cell=c))
+
+    def energy(self, params, xyz, aux, cell=None):
+        c = aux[0] if cell is None else cell
+        return self.base.energy(params, xyz, aux[1], cell=c)

@@ -110,7 +110,7 @@ class _MDIntegrator:
             return self.model.force(params, q, aux)
         return -jax.grad(self.model.energy, argnums=1)(params, q, aux)
 
-    def prime_state(self, params, state, aux):
+    def prime_state(self, params, state, aux, fresh_aux=False):
         """Fill the force cache with a fresh evaluation (used once at epoch
         entry so the in-scan stepper never branches on ``fv`` -- an XLA
         ``conditional`` inside the scan blocks fusion and costs ~20% of
@@ -120,10 +120,15 @@ class _MDIntegrator:
         the epoch on the same topology the cached force was computed from
         (they agree by determinism even when the scan refreshes again at
         step 0, but returning it lets update_freq > 1 epochs skip that
-        duplicate build -- see Simulation.epoch_fn)."""
+        duplicate build -- see Simulation.epoch_fn).
+
+        ``fresh_aux=True``: the caller just built ``aux`` at this exact
+        ``state.q`` (e.g. parallel/multistate.py's per-state aux_init) --
+        skip the redundant refresh."""
         if not (self.force_cache and hasattr(state, "fv")):
             return state, aux
-        aux = self.model.aux_update(state.q, aux)
+        if not fresh_aux:
+            aux = self.model.aux_update(state.q, aux)
         f = self.force(params, state.q, aux)
         return state._replace(f=f, fv=jnp.ones(())), aux
 

@@ -82,13 +82,15 @@ def min_image(disp, cell):
     those HIGHEST-precision matmuls over (..., N, N, 3) dominate the whole
     distance-matrix cost.
 
+    A 1-D ``cell`` argument means diagonal lengths (L,) and always takes
+    the elementwise path -- including when it is a *traced* value (per-
+    state cells in the sharded multi-state fit, parallel/multistate.py).
+
     Returns (wrapped displacement, fractional offsets in {-1,0,1}).
     """
     cell = jnp.asarray(cell)
-    if cell.ndim == 1:
-        cell = jnp.diag(cell)
-    if _is_diagonal(cell):
-        L = jnp.diag(cell)
+    if cell.ndim == 1 or _is_diagonal(cell):
+        L = cell if cell.ndim == 1 else jnp.diag(cell)
         offsets = (-(disp > 0.5 * L).astype(disp.dtype)
                    + (disp < -0.5 * L).astype(disp.dtype))
         return disp + offsets * L, offsets
@@ -117,10 +119,8 @@ def _disp_planes(xyz, cell):
     diagonal-cell path benefits; triclinic falls back to the vector form.
     """
     cell = jnp.asarray(cell)
-    if cell.ndim == 1:
-        cell = jnp.diag(cell)
-    if _is_diagonal(cell):
-        L = jnp.diag(cell)
+    if cell.ndim == 1 or _is_diagonal(cell):
+        L = cell if cell.ndim == 1 else jnp.diag(cell)
         xt = jnp.moveaxis(xyz, -1, -2)               # (..., 3, N)
         d = xt[..., None, :] - xt[..., :, None]      # d[c, i, j] = xj - xi
         Lc = L[:, None, None]
@@ -301,7 +301,7 @@ def generate_neighbor_table(xyz, cutoff, cell, k_max, select_mask=None,
     table = jnp.where(valid, cols, n).astype(jnp.int32)
     overflow = (within.sum(-1) > k_max).any()
     if not store_offsets:
-        if not _is_diagonal(cell):
+        if not (jnp.asarray(cell).ndim == 1 or _is_diagonal(cell)):
             raise ValueError("store_offsets=False requires a diagonal cell")
         return NeighborTable(table=table, offsets=(), mask=valid,
                              overflow=overflow)
@@ -336,11 +336,11 @@ def compute_dis(xyz, nbr_idx, offsets, cell):
     list's mask downstream.
     """
     cell = jnp.asarray(cell)
-    if cell.ndim == 1:
-        cell = jnp.diag(cell)
     n = xyz.shape[-2]
     ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=-2)
-    d = ext[nbr_idx[:, 0]] - ext[nbr_idx[:, 1]] - _mm(offsets, cell)
+    off_real = (offsets * cell if cell.ndim == 1
+                else _mm(offsets, cell))
+    d = ext[nbr_idx[:, 0]] - ext[nbr_idx[:, 1]] - off_real
     # padded rows (index n) must yield a *safe* distance BEFORE any
     # potential sees it: u'(r->0) = inf and 0 * inf = NaN in the force
     # (grad) pass even under masking -- the classic where-gradient trap.
@@ -368,6 +368,26 @@ def aux_overflow(aux):
     if ov is None:
         return False
     return bool(np.any(np.asarray(ov)))
+
+
+def aux_overflow_traced(aux):
+    """Traced counterpart of :func:`aux_overflow`: returns a jnp bool
+    scalar (ORs every ``overflow`` leaf), usable inside jit/vmap -- the
+    sharded multi-state fit returns it per state so drivers can poll
+    overflow without a host-side pytree walk."""
+    flag = jnp.asarray(False)
+    if aux is None or (isinstance(aux, tuple) and len(aux) == 0):
+        return flag
+    if isinstance(aux, dict):
+        vals = aux.values()
+    elif isinstance(aux, (list, tuple)) and not hasattr(aux, "_fields"):
+        vals = aux
+    else:
+        ov = getattr(aux, "overflow", None)
+        return flag if ov is None else jnp.any(jnp.asarray(ov))
+    for a in vals:
+        flag = jnp.logical_or(flag, aux_overflow_traced(a))
+    return flag
 
 
 def get_offsets(vecs, cell_len):

@@ -43,6 +43,13 @@ from .pretrain import boltzmann_inversion_pretrain
 WIDTH_DICT = {"tiny": 64, "low": 128, "mid": 256, "high": 512}
 
 
+def _dt_scale(entry):
+    """dt is femtoseconds for physical-units registry targets and reduced
+    time units for LJ-style reduced-units entries (see fit_rdf's dt
+    note)."""
+    return 1.0 if entry.get("reduced_units") else units.fs
+
+
 def get_temp(T_start, T_equil, n_epochs, i, anneal_rate):
     """Annealing schedule (reference fit_rdf_gnn.py:119-120)."""
     return ((T_start - T_equil) * np.exp(-i * (1 / n_epochs) * anneal_rate)
@@ -311,13 +318,9 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         functools.partial(jax.tree_util.tree_map, jnp.zeros_like))(params)
 
     def _dt_for(tag):
-        # dt is in femtoseconds for physical-units targets (water/Si; the
-        # reference's fit_rdf actually ignores its dt and integrates at
-        # the 1 fs default, md.py:73) and in reduced time units for the
-        # LJ-style registries (fit_rdf_pair passes dt through directly)
-        entry = registry[tag]
-        scale = 1.0 if entry.get("reduced_units") else units.fs
-        return sys_params["dt"] * scale
+        # (the reference's fit_rdf actually ignores its dt and integrates
+        # at the 1 fs default, md.py:73)
+        return sys_params["dt"] * _dt_scale(registry[tag])
 
     # optional angle-distribution target (reference angle_data_dict,
     # scripts/data.py:1007; loss wiring is new -- the reference loads the

@@ -1,0 +1,274 @@
+"""Concurrent multi-state-point RDF fitting: ALL state points in ONE
+compiled, dp-sharded program.
+
+The reference trains multi-state potentials by looping state points
+serially inside each epoch (/root/reference/scripts/fit_rdf_gnn.py:388:
+``for i, sim in enumerate(sim_list)`` -- one full GPU pass per
+thermodynamic state).  This driver replaces that loop with the
+generalized multi-state engine (parallel/multistate.py
+``make_stack_multistate_fit``): states are stacked on a leading S axis,
+vmapped through the LIBRARY NHC stepper (same physics as fit_rdf, same
+force cache), and sharded over the mesh's ``dp`` axis -- gradients
+arrive pre-summed.  On one chip the stacked program still wins (state
+points fill the chip the serial loop leaves idle); on a pod slice each
+state rides its own device.
+
+Supports the same model families as fit_rdf (SchNet GNN stack above all
+-- the flagship; pair/tpair MLPs work too since everything goes through
+the Interaction contract).
+"""
+
+import os
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import units
+from ..interface import (PairPotentials, GNNPotentials, Stack,
+                         WithDynamicCell)
+from ..md import NoseHooverChain, Simulation
+from ..parallel import make_mesh, make_stack_multistate_fit
+from ..data import exp_rdf_data_dict
+from .fit_rdf import (get_system, get_observer, registry_T_kelvin,
+                      _build_net_and_prior, _dt_scale)
+from .loss import JS_rdf
+
+
+def build_multistate(assignments, sys_params, registry=None, rng=None):
+    """Systems/targets for all state points + ONE dynamic-cell stack.
+
+    All tags must share composition (same element / N_unitcell / size);
+    the prototype interaction is built on the *densest* state point so
+    the auto-derived neighbor capacity (k_max) covers every box.
+    """
+    registry = exp_rdf_data_dict if registry is None else registry
+    size = sys_params["size"]
+    cutoff = assignments["cutoff"]
+    nbins = assignments["nbins"]
+    train_list = list(sys_params["data"])
+
+    net, prior = _build_net_and_prior(assignments, sys_params)
+
+    systems, targets, r_axes, kTs, cell_lens, rhos = [], [], [], [], [], []
+    rdf_range = None
+    for tag in train_list:
+        entry = registry[tag]
+        system = get_system(tag, size, registry, rng=rng)
+        systems.append(system)
+        x, g_obs, _ = get_observer(system, tag, nbins, registry)
+        targets.append(np.asarray(g_obs))
+        r_axes.append(x)
+        kTs.append(registry_T_kelvin(entry) * units.kB)
+        cell_lens.append(np.diag(np.asarray(system.get_cell())))
+        rhos.append(system.get_number_of_atoms() / system.get_volume())
+        rr = (entry["start"], entry["end"])
+        if rdf_range is None:
+            rdf_range = rr
+        elif rdf_range != rr:
+            raise ValueError(f"state points disagree on rdf range: "
+                             f"{rdf_range} vs {rr} ({tag})")
+
+    n_atoms = {s.get_number_of_atoms() for s in systems}
+    if len(n_atoms) != 1:
+        raise ValueError(f"state points disagree on atom count: {n_atoms}")
+
+    # prototype = densest box: its k_max bounds every state's neighbor count
+    proto = systems[int(np.argmax(rhos))]
+    prior_int = PairPotentials(proto, prior, cutoff=cutoff)
+    if sys_params.get("tpair_flag"):
+        # a TpairMLP's kT lives in the params pytree (one leaf) -- per-
+        # state temperatures need the serial fit_rdf driver's kT_override
+        raise NotImplementedError(
+            "tpair multistate fitting: use train.fit_rdf (serial), which "
+            "grafts each state's kT into the shared params")
+    if sys_params.get("pair_flag"):
+        nn_int = PairPotentials(proto, net, cutoff=cutoff)
+    else:
+        nn_int = GNNPotentials(
+            proto, net, cutoff=cutoff, nbr_mode="table",
+            capacity_slack=float(sys_params.get("capacity_slack", 2.0)))
+    stack = Stack({"nn": nn_int, "pair": prior_int})
+    dyn = WithDynamicCell(stack, cell_lens[int(np.argmax(rhos))])
+    integ = NoseHooverChain(
+        dyn, proto, T=registry_T_kelvin(registry[train_list[0]]),
+        Q=50.0, num_chains=5, adjoint=True,
+        topology_update_freq=sys_params.get("topology_update_freq", 1))
+
+    return {"systems": systems, "targets": np.stack(targets),
+            "r_axes": r_axes, "kTs": np.asarray(kTs),
+            "cell_lens": np.stack(cell_lens), "rhos": np.asarray(rhos),
+            "net": net, "prior": prior, "stack": stack, "integ": integ,
+            "train_list": train_list, "registry": registry,
+            "rdf_range": rdf_range}
+
+
+def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
+                       registry=None, rng=None, mesh=None):
+    """Train one shared potential against every state point concurrently.
+
+    Mirrors fit_rdf's training semantics (Adam + plateau on the learnable
+    net, frozen prior, NaN bailout, JS diagnostic, checkpoint/resume,
+    800-bin inference) with the per-epoch state-point loop replaced by
+    one sharded program.  ``mesh=None`` auto-builds a dp mesh over all
+    visible devices that divides the state count (dp=1 on a single chip:
+    the stacked one-chip program)."""
+    registry = exp_rdf_data_dict if registry is None else registry
+    rng = np.random.default_rng(0) if rng is None else rng
+    n_epochs = sys_params["n_epochs"]
+    tau = assignments["opt_freq"]
+    nbins = assignments["nbins"]
+    frame_skip = sys_params.get("frame_skip", 20)
+
+    comps = build_multistate(assignments, sys_params, registry, rng=rng)
+    integ = comps["integ"]
+    train_list = comps["train_list"]
+    S = len(train_list)
+
+    if mesh is None:
+        devs = jax.devices()
+        dp = 1
+        for cand in range(min(S, len(devs)), 0, -1):
+            if S % cand == 0:
+                dp = cand
+                break
+        mesh = make_mesh({"dp": dp}, devices=devs[:dp])
+    log(f"multistate fit: {S} states on mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    dt = sys_params["dt"] * _dt_scale(registry[train_list[0]])
+    loss_fn = make_stack_multistate_fit(
+        integ, dt=dt, n_steps=max(int(tau) - 1, 1), nbins=nbins,
+        rdf_range=comps["rdf_range"], mesh=mesh, frame_skip=frame_skip,
+        loss_type="shell")
+
+    params = integ.init_params()
+
+    if model_path:
+        os.makedirs(model_path, exist_ok=True)
+        with open(os.path.join(model_path, "assignments.json"), "w") as f:
+            json.dump({k: str(v) for k, v in assignments.items()}, f)
+
+    # optimizer: learnable net only (prior & any kT leaf frozen), Adam +
+    # reduce-on-plateau -- same selection as fit_rdf
+    def label(path, _):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if keys and keys[0] == "nn" and "kT" not in keys:
+            return "train"
+        return "frozen"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    opt = optax.multi_transform(
+        {"train": optax.chain(
+            optax.clip_by_global_norm(assignments.get("grad_clip", 10.0)),
+            optax.adam(assignments["lr"]),
+            optax.contrib.reduce_on_plateau(
+                factor=0.5, patience=25, min_scale=1e-4, atol=1e-5)),
+         "frozen": optax.set_to_zero()}, labels)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, states):
+        (loss, (losses, gs, finals, overflow)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
+                params, states, comps["cell_lens"], comps["kTs"],
+                comps["targets"], comps["rhos"])
+        updates, opt_state = opt.update(grads, opt_state, params,
+                                        value=loss)
+        params = optax.apply_updates(params, updates)
+        return loss, params, opt_state, losses, gs, finals, overflow
+
+    # stacked initial states (one MB draw per state)
+    proto_state = integ.initial_state()
+    q0 = jnp.asarray(np.stack([s.get_positions() for s in comps["systems"]]))
+    v0 = jnp.asarray(np.stack([s.get_velocities()
+                               for s in comps["systems"]]))
+    states = jax.vmap(lambda q, v: proto_state._replace(q=q, v=v))(q0, v0)
+
+    from .checkpoint import FitCheckpointer
+    ckpt = FitCheckpointer(model_path, every=sys_params.get("ckpt_every", 10))
+    resume = ckpt.restore()
+    loss_log, js_log = [], []
+    start_epoch = 0
+    if resume is not None:
+        params = jax.device_put(resume["params"])
+        opt_state = jax.tree_util.tree_map(
+            lambda _, new: jnp.asarray(new), opt_state, resume["opt_state"])
+        states = jax.device_put(resume["md_states"])
+        loss_log = list(resume["logs"].get("loss_log", []))
+        js_log = list(resume["logs"].get("js_log", []))
+        start_epoch = resume["epoch"] + 1
+        log(f"resumed from checkpoint at epoch {resume['epoch']}")
+
+    for epoch in range(start_epoch, n_epochs):
+        loss, params, opt_state, losses, gs, finals, overflow = train_step(
+            params, opt_state, states)
+        if not bool(jnp.isfinite(finals.q).all()):
+            log(f"NaN bailout at epoch {epoch}")
+            return {"objective": 5 - (epoch / n_epochs) * 5,
+                    "nan_bailout": True, "loss_log": loss_log}
+        if bool(jnp.any(overflow)):
+            log(f"WARNING: neighbor capacity overflow at epoch {epoch} "
+                f"(states {np.nonzero(np.asarray(overflow))[0].tolist()}) "
+                "-- raise capacity_slack")
+        states = jax.lax.stop_gradient(finals)
+        loss_log.append(float(loss))
+        js_log.append([float(JS_rdf(jnp.asarray(comps['targets'][j]),
+                                    gs[j])) for j in range(S)])
+        log(f"epoch {epoch} | loss: {float(loss):.5f} | per-state: "
+            + " ".join(f"{float(l):.4f}" for l in losses))
+        ckpt.maybe_save(epoch, params, opt_state, states,
+                        {"loss_log": loss_log, "js_log": js_log})
+
+    # inference: per state point, standard single-system rollout at the
+    # 800-bin resolution (same protocol as fit_rdf:420-457)
+    results = {"loss_log": loss_log, "js_log": js_log, "final": {},
+               "params": params}
+    test_nbins = sys_params.get("test_nbins", 800)
+    n_sim = sys_params.get("n_sim", 2)
+    total = 0.0
+    for j, tag in enumerate(train_list):
+        system = comps["systems"][j]
+        state_j = jax.tree_util.tree_map(lambda x: x[j], states)
+        cutoff = assignments["cutoff"]
+        prior_int = PairPotentials(system, comps["prior"], cutoff=cutoff)
+        nn_int = GNNPotentials(system, comps["net"], cutoff=cutoff) \
+            if not (sys_params.get("pair_flag")
+                    or sys_params.get("tpair_flag")) \
+            else PairPotentials(system, comps["net"], cutoff=cutoff)
+        stack_j = Stack({"nn": nn_int, "pair": prior_int})
+        integ_j = NoseHooverChain(stack_j, system,
+                                  T=registry_T_kelvin(registry[tag]),
+                                  Q=50.0, num_chains=5, adjoint=False)
+        sim = Simulation(system, integ_j, params=params)
+        sim.state = state_j
+        sim.aux = integ_j.aux_init(state_j.q)
+        frames = [np.asarray(state_j.q)]
+        for _ in range(n_sim):
+            traj = sim.simulate(steps=100, dt=dt, frequency=25)
+            f = np.asarray(traj.q[-1])
+            if np.isfinite(f).all():
+                frames.append(f)
+            else:
+                log(f"inference rollout diverged for {tag}; frame skipped")
+        x, g_obs, obs = get_observer(system, tag, test_nbins, registry)
+        g_sim = np.mean([np.asarray(obs(jnp.asarray(f))[2])
+                         for f in frames], axis=0)
+        mse = float(((np.asarray(g_obs) - g_sim) ** 2).mean())
+        results["final"][tag] = {"r": x, "g_sim": g_sim,
+                                 "g_obs": np.asarray(g_obs), "mse": mse}
+        total += mse
+        if model_path:
+            np.savetxt(os.path.join(model_path, f"rdf_{tag}.csv"),
+                       np.vstack([x, g_sim]), delimiter=",")
+    results["objective"] = total
+    if model_path:
+        np.savetxt(os.path.join(model_path, "loss.csv"),
+                   np.asarray(loss_log))
+        from .plots import plot_rdfs, plot_loss
+        plot_loss(loss_log, model_path)
+        for tag, fin in results["final"].items():
+            plot_rdfs(fin["r"], fin["g_obs"], fin["g_sim"],
+                      f"rdf_{tag}_final", model_path, pname="final")
+    return results

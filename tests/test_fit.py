@@ -366,3 +366,30 @@ def test_fit_lj_state_reset(tmp_path):
     assert not out.get("nan_bailout", False)
     assert len(out["loss_log"]) == 4
     assert np.isfinite(out["loss_log"]).all()
+
+
+def test_fit_rdf_multistate_gnn_smoke(synthetic_registry):
+    # two state points (different box, different T) trained CONCURRENTLY
+    # in one dp-sharded program through the library stepper
+    from mdgrad_tpu.train.fit_rdf_multi import fit_rdf_multistate
+    registry = dict(synthetic_registry)
+    e2 = dict(registry["ljtest"])
+    e2["T"], e2["rho"] = 1.4, 0.80
+    registry["ljtest2"] = e2
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 11, "lr": 1e-3,
+        "epsilon": 0.4, "sigma": 0.9,
+        "gaussian_width": 0.25, "n_atom_basis": "tiny",
+        "n_filters": "tiny", "n_convolutions": 2,
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 2, "n_sim": 1,
+        "data": ["ljtest", "ljtest2"], "pair_flag": False,
+        "frame_skip": 5, "test_nbins": 64,
+    }
+    out = fit_rdf_multistate(assignments, sys_params, registry=registry,
+                             rng=np.random.default_rng(1))
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 2
+    assert np.isfinite(out["objective"])
+    assert set(out["final"]) == {"ljtest", "ljtest2"}

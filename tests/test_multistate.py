@@ -116,3 +116,102 @@ def test_multistate_train_step_moves_params():
     assert np.isfinite(float(loss))
     assert finals.q.shape == states.q.shape
     assert abs(float(new_params["sigma"]) - float(params["sigma"])) > 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Generalized engine: the flagship SchNet Stack through the LIBRARY stepper
+# (VERDICT r2 item 1) -- sharded program == serial fit_rdf-style loop.
+# ---------------------------------------------------------------------------
+
+def _gnn_state_points():
+    from mdgrad_tpu.nn import SchNet
+    lattice_a = [1.679, 1.76]
+    kts = [1.0, 1.2]
+    gnn = SchNet({"n_atom_basis": 16, "n_filters": 16, "n_gaussians": 8,
+                  "n_convolutions": 2, "cutoff": 1.6})
+    rng = np.random.default_rng(3)
+    systems, vs = [], []
+    for a in lattice_a:
+        sys_ = System.from_lattice("fcc", 2, a)   # 32 atoms
+        systems.append(sys_)
+        vs.append(rng.standard_normal((32, 3)) * 0.3)
+    targets = 1.0 + 0.1 * rng.standard_normal((2, NBINS))
+    return gnn, systems, np.stack(vs), np.asarray(kts), targets
+
+
+def test_gnn_stack_multistate_matches_serial():
+    from mdgrad_tpu import potentials as pots
+    from mdgrad_tpu.interface import (GNNPotentials, PairPotentials, Stack,
+                                      WithDynamicCell)
+    from mdgrad_tpu.parallel import (make_mesh, make_stack_multistate_fit)
+
+    gnn, systems, v0, kts, targets = _gnn_state_points()
+    n_steps = 2
+    cutoff = 1.6
+    prior = pots.ExcludedVolume(epsilon=0.01, sigma=0.8, power=12)
+
+    # ---- serial oracle: the standard single-state library pipeline ----
+    total = 0.0
+    g_total = None
+    params = None
+    for j, sys_ in enumerate(systems):
+        stack = Stack({
+            "nn": GNNPotentials(sys_, gnn, cutoff=cutoff, nbr_mode="table",
+                                k_max=24),
+            "pair": PairPotentials(sys_, prior, cutoff=cutoff,
+                                   mode="dense")})
+        integ = NoseHooverChain(stack, sys_, T=kts[j] / units.kB,
+                                num_chains=3, Q=50.0, adjoint=True)
+        sim = Simulation(sys_, integ)
+        if params is None:
+            params = sim.params
+        ode = sim.epoch_fn(dt=0.005, frequency=n_steps + 1)
+        obs = rdf_obs(sys_, nbins=NBINS, r_range=RDF_RANGE)
+        s0 = integ.initial_state()._replace(
+            v=jnp.asarray(v0[j]), q=jnp.asarray(sys_.get_positions()))
+        aux0 = integ.aux_init(s0.q)
+        tgt = jnp.asarray(targets[j])
+
+        def loss_one(p, s0=s0, aux0=aux0, ode=ode, obs=obs, tgt=tgt,
+                     kT=kts[j]):
+            traj, _ = ode(p, s0, aux0, {"kT": jnp.asarray(kT)})
+            _, _, g = obs(traj.q)
+            return ((g - tgt) ** 2).mean()
+
+        l, g = jax.value_and_grad(loss_one)(params)
+        total += float(l)
+        g_total = g if g_total is None else jax.tree_util.tree_map(
+            jnp.add, g_total, g)
+
+    # ---- sharded program: ONE compiled multi-state epoch over dp ----
+    proto = systems[0]
+    stack_proto = Stack({
+        "nn": GNNPotentials(proto, gnn, cutoff=cutoff, nbr_mode="table",
+                            k_max=24),
+        "pair": PairPotentials(proto, prior, cutoff=cutoff, mode="dense")})
+    dyn = WithDynamicCell(stack_proto, np.diag(proto.get_cell()))
+    integ = NoseHooverChain(dyn, proto, T=kts[0] / units.kB, num_chains=3,
+                            Q=50.0, adjoint=True)
+    mesh = make_mesh({"dp": 2}, devices=jax.devices()[:2])
+    loss_fn = make_stack_multistate_fit(
+        integ, dt=0.005, n_steps=n_steps, nbins=NBINS,
+        rdf_range=RDF_RANGE, mesh=mesh, frame_skip=1, loss_type="mse")
+
+    states = jax.vmap(lambda q, v: integ.initial_state()._replace(q=q, v=v)
+                      )(jnp.asarray(np.stack([s.get_positions()
+                                              for s in systems])),
+                        jnp.asarray(v0))
+    cell_lens = jnp.asarray([np.diag(s.get_cell()) for s in systems])
+    rhos = jnp.ones(2)
+
+    vg = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, states, cell_lens, jnp.asarray(kts),
+                          jnp.asarray(targets), rhos)[0]))
+    loss_sharded, g_sharded = vg(params)
+
+    np.testing.assert_allclose(float(loss_sharded), total, rtol=1e-4)
+    flat_a = jax.tree_util.tree_leaves(g_sharded)
+    flat_b = jax.tree_util.tree_leaves(g_total)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-6)
