@@ -38,19 +38,19 @@ def pressure(interaction, params, xyz, aux, velocities, masses, cell,
 
     The strain derivative scales positions and cell uniformly:
     U(eps) = U((1+eps) q; (1+eps) cell); W = -dU/deps|_0 = sum_i f_i . r_i.
-    Requires the interaction's energy to read the cell from ``cell`` --
-    pass a cell-parameterized closure for interactions holding a baked-in
-    cell (PairPotentials exposes ``.cell`` for this).
+    Uses the Interaction contract's dynamic ``cell=`` override (diagonal
+    cells), so it works for PairPotentials, GNNPotentials and whole
+    Stacks, is differentiable in ``params`` AND in ``xyz``/``velocities``
+    (so it can sit at the end of a trajectory as a fitting target -- see
+    train/fit_rdf_pair.py pressure_weight), and is jit/vmap-safe.
     """
-    volume = jnp.abs(jnp.linalg.det(jnp.asarray(cell)))
+    cell = jnp.asarray(cell)
+    cell_len = jnp.diag(cell) if cell.ndim == 2 else cell
+    volume = jnp.abs(jnp.prod(cell_len))
 
     def scaled_energy(eps):
-        old_cell = interaction.cell
-        try:
-            interaction.cell = (1.0 + eps) * jnp.asarray(cell)
-            return interaction.energy(params, (1.0 + eps) * xyz, aux)
-        finally:
-            interaction.cell = old_cell
+        return interaction.energy(params, (1.0 + eps) * xyz, aux,
+                                  cell=(1.0 + eps) * cell_len)
 
     w = -jax.grad(scaled_energy)(0.0)
     ke = kinetic_energy(velocities, masses)

@@ -57,7 +57,11 @@ def resolve_target_pot(spec):
 def get_target_obs(system, entry, n_sim, rdf_range, nbins, t_range,
                    dt, skip=2, steps_per_sim=100, rng=None):
     """Simulate the ground-truth potential to generate target RDF/VACF
-    (parity: reference fit_rdf_pair.py:159-204)."""
+    (parity: reference fit_rdf_pair.py:159-204) -- plus the mean virial
+    pressure, the auxiliary target that breaks the RDF-only well-depth
+    degeneracy (the reference's Pressure observable is broken and never
+    used, /root/reference/torchmd/thermo.py:17-54)."""
+    from .. import thermo
     target_pot = resolve_target_pot(entry["target_pot"])
     pot_int = PairPotentials(system, target_pot, cutoff=2.5)
     integ = NoseHooverChain(pot_int, system, T=registry_T_kelvin(entry),
@@ -65,7 +69,12 @@ def get_target_obs(system, entry, n_sim, rdf_range, nbins, t_range,
     sim = Simulation(system, integ)
     robs = rdf_obs_cls(system, nbins=nbins, r_range=rdf_range)
     vobs = vacf_obs_cls(system, t_range=t_range)
-    gs, vacfs = [], []
+    masses = system.get_masses()
+    cell = system.get_cell()
+    tp = target_pot.init_params()
+    p_fn = jax.jit(jax.vmap(lambda q, v: thermo.pressure(
+        pot_int, tp, q, (), v, masses, cell, dim=system.dim)))
+    gs, vacfs, ps = [], [], []
     for i in range(n_sim):
         traj = sim.simulate(steps_per_sim, dt=dt,
                             frequency=steps_per_sim)
@@ -73,13 +82,21 @@ def get_target_obs(system, entry, n_sim, rdf_range, nbins, t_range,
             _, _, g = robs(traj.q[-1])
             gs.append(np.asarray(g))
             vacfs.append(np.asarray(vobs(traj.v)))
-    return np.mean(gs, axis=0), np.mean(vacfs, axis=0)
+            ps.append(float(p_fn(traj.q[::10], traj.v[::10]).mean()))
+    return (np.mean(gs, axis=0), np.mean(vacfs, axis=0),
+            float(np.mean(ps)))
 
 
 def get_observer(system, data_tag, nbins, t_range, rdf_start,
-                 registry=None, target_nsim=20, rng=None):
-    """(r_axis, rdf_target, rdf obs, vacf_target, vacf obs); loads file
-    targets or self-generates (parity: fit_rdf_pair.py:206-248)."""
+                 registry=None, target_nsim=20, rng=None,
+                 want_pressure=False):
+    """(r_axis, rdf_target, rdf obs, vacf_target, vacf obs, P_target);
+    loads file targets or self-generates (parity:
+    fit_rdf_pair.py:206-248).  P_target comes from the ground-truth sim
+    (self-generated entries), an explicit ``pressure`` registry field,
+    or -- with ``want_pressure`` and a known ``target_pot`` -- a
+    dedicated ground-truth simulation even when the RDF itself comes
+    from a file; None otherwise."""
     registry = pair_data_dict if registry is None else registry
     entry = registry[data_tag]
     dt = entry.get("dt", 0.01)
@@ -88,22 +105,29 @@ def get_observer(system, data_tag, nbins, t_range, rdf_start,
     robs = rdf_obs_cls(system, nbins, (rdf_start, rdf_end))
     vobs = vacf_obs_cls(system, t_range=t_range)
     fn = entry.get("rdf_fn") or entry.get("fn")
+    p_target = entry.get("pressure")
     if fn and os.path.exists(fn):
         rdf_data = np.loadtxt(fn, delimiter=",")
         vacf_target = None
         if entry.get("vacf_fn") and os.path.exists(entry["vacf_fn"]):
             vacf_target = np.loadtxt(entry["vacf_fn"],
                                      delimiter=",")[:t_range]
+        if want_pressure and p_target is None and entry.get("target_pot"):
+            _, _, p_target = get_target_obs(
+                system, entry, target_nsim, (rdf_start, rdf_end), nbins,
+                t_range, dt, rng=rng)
     else:
-        g, vacf_target = get_target_obs(system, entry, target_nsim,
-                                        (rdf_start, rdf_end), nbins,
-                                        t_range, dt, rng=rng)
+        g, vacf_target, p_gen = get_target_obs(
+            system, entry, target_nsim, (rdf_start, rdf_end), nbins,
+            t_range, dt, rng=rng)
         rdf_data = np.vstack([np.linspace(rdf_start, rdf_end, nbins), g])
+        if p_target is None:
+            p_target = p_gen
     x, rdf_target = get_exp_rdf(rdf_data, nbins, (rdf_start, rdf_end),
                                 dim=dim)
     return (x, jnp.asarray(rdf_target), robs,
             None if vacf_target is None else jnp.asarray(vacf_target),
-            vobs)
+            vobs, p_target)
 
 
 def fit_lj(assignments, sys_params, model_path=None, log=print,
@@ -176,7 +200,9 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         rdf_start = registry[tag].get("start", 0.75)
         observers.append(get_observer(
             system, tag, nbins, t_range, rdf_start, registry,
-            target_nsim=sys_params.get("target_nsim", 8), rng=rng))
+            target_nsim=sys_params.get("target_nsim", 8), rng=rng,
+            want_pressure=float(assignments.get("pressure_weight",
+                                                0.0)) > 0))
         systems.append(system)
         sims.append(sim)
 
@@ -244,14 +270,29 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         entry = registry[tag]
         dt = sys_params.get("dt") or entry.get("dt", 0.01)
         ode = sim.epoch_fn(dt, tau)
-        x, g_t, robs, vacf_t, vobs = observers[j]
+        x, g_t, robs, vacf_t, vobs, p_t = observers[j]
         rdf_w = assignments.get("rdf_weight", 1.0)
         vacf_w = assignments.get("vacf_weight", 0.0)
         use_vacf = (str(assignments.get("train_vacf", "False")) == "True"
                     and vacf_t is not None)
+        # virial-pressure target: breaks the RDF-only well-DEPTH
+        # degeneracy (g(r) pins the well position but leaves an
+        # epsilon-direction soft mode; P is first-order in epsilon).
+        # The reference intended this (thermo.py Pressure) but its
+        # implementation is broken and unused.
+        press_w = float(assignments.get("pressure_weight", 0.0))
+        use_press = press_w > 0.0 and p_t is not None
+        stack_model = sim.integrator.model
+        masses_j = systems[j].get_masses()
+        cell_j = systems[j].get_cell()
+        dim_j = systems[j].dim
 
         def make(ode=ode, robs=robs, vobs=vobs, g_t=g_t, vacf_t=vacf_t,
-                 use_vacf=use_vacf, rdf_w=rdf_w, vacf_w=vacf_w):
+                 use_vacf=use_vacf, rdf_w=rdf_w, vacf_w=vacf_w,
+                 use_press=use_press, p_t=p_t, stack_model=stack_model,
+                 masses_j=masses_j, cell_j=cell_j, dim_j=dim_j):
+            from .. import thermo
+
             def loss_fn(p, state, aux, ctrl):
                 traj, final_aux = ode(p, state, aux, ctrl)
                 frames = traj.q[::frame_skip]
@@ -262,8 +303,15 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
                 if use_vacf:
                     loss = loss + vacf_w * (
                         (vacf_sim - vacf_t[:t_range]) ** 2).mean()
+                if use_press:
+                    p_sim = jax.vmap(lambda q, v: thermo.pressure(
+                        stack_model, p, q, aux, v, masses_j, cell_j,
+                        dim=dim_j))(frames, traj.v[::frame_skip]).mean()
+                    loss = loss + press_w * (p_sim - p_t) ** 2
+                else:
+                    p_sim = jnp.zeros(())
                 last = jax.tree_util.tree_map(lambda a: a[-1], traj)
-                return loss, (g, vacf_sim, last, final_aux)
+                return loss, (g, vacf_sim, p_sim, last, final_aux)
             return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
         vgs.append(make())
         md_states.append(sim.initial_state())
@@ -281,8 +329,8 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             state, aux = md_states[j]
             ctrl = sims[j].integrator.default_ctrl()
             for _ in range(burnin):
-                (_, (_, _, last, aux)), _ = vgs[j](params, state, aux,
-                                                   ctrl)
+                (_, (_, _, _, last, aux)), _ = vgs[j](params, state,
+                                                      aux, ctrl)
                 state = jax.lax.stop_gradient(last)
             md_states[j] = (state, aux)
         log(f"burn-in: {burnin} epochs x {len(all_sys)} states equilibrated")
@@ -323,7 +371,7 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         for j, tag in enumerate(all_sys):
             state, aux = md_states[j]
             ctrl = sims[j].integrator.default_ctrl()
-            (loss, (g, vacf_sim, last, faux)), grads = vgs[j](
+            (loss, (g, vacf_sim, p_sim, last, faux)), grads = vgs[j](
                 params, state, aux, ctrl)
             if not bool(jnp.isfinite(last.q).all()):
                 log(f"NaN bailout at epoch {epoch} ({tag})")
@@ -336,6 +384,7 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             md_states[j] = (jax.lax.stop_gradient(last), faux)
             obs_log[tag]["rdf"].append(np.asarray(g))
             obs_log[tag]["vacf"].append(np.asarray(vacf_sim))
+            obs_log[tag].setdefault("pressure", []).append(float(p_sim))
             if tag in train_list:
                 total += float(loss)
                 grads_acc = tree_add(grads_acc, grads)

@@ -25,6 +25,10 @@ def main():
     p.add_argument("-dt", type=float, default=0.005)
     p.add_argument("-update_freq", type=int, default=1)
     p.add_argument("-vacf_weight", type=float, default=0.0)
+    p.add_argument("-pressure_weight", type=float, default=0.0,
+                   help="virial-pressure target weight: P pins the "
+                        "attractive-well DEPTH that g(r) alone leaves "
+                        "soft (target from the ground-truth sim)")
     p.add_argument("-lr", type=float, default=2e-3)
     p.add_argument("-pretrain", type=int, default=1000)
     p.add_argument("-nepochs", type=int, default=300)
@@ -54,6 +58,7 @@ def main():
         "sigma": args.sigma, "gaussian_width": 0.1, "n_width": 128,
         "n_layers": 3, "nonlinear": "SELU", "grad_clip": args.grad_clip,
         "rdf_weight": 1.0, "vacf_weight": args.vacf_weight,
+        "pressure_weight": args.pressure_weight,
         "train_vacf": "True" if args.vacf_weight > 0 else "False",
     }
     sys_params = {

@@ -393,3 +393,28 @@ def test_fit_rdf_multistate_gnn_smoke(synthetic_registry):
     assert len(out["loss_log"]) == 2
     assert np.isfinite(out["objective"])
     assert set(out["final"]) == {"ljtest", "ljtest2"}
+
+
+def test_fit_lj_pressure_target():
+    """pressure_weight > 0: the virial-pressure head joins the loss
+    (self-generated ground truth supplies P_target) and training still
+    descends sanely."""
+    from mdgrad_tpu.train.fit_rdf_pair import fit_lj
+    registry = {"ljp": {"rho": 0.845, "T": 1.2, "start": 0.75, "end": 2.5,
+                        "element": "H", "mass": 1.0, "N_unitcell": 4,
+                        "cell": "fcc", "reduced_units": True, "dt": 0.01,
+                        "target_pot": ("LennardJones", {})}}
+    out = fit_lj(
+        {"nbins": 40, "opt_freq": 16, "lr": 3e-3, "sigma": 0.9,
+         "gaussian_width": 0.1, "n_width": 24, "n_layers": 1,
+         "nonlinear": "SELU", "rdf_weight": 1.0,
+         "pressure_weight": 1e-3},
+        {"size": 2, "cutoff": 2.5, "t_range": 10, "n_epochs": 2,
+         "n_sim": 1, "data": ["ljp"], "val": None, "target_nsim": 4,
+         "frame_skip": 4},
+        registry=registry, rng=np.random.default_rng(2),
+        log=lambda *a: None)
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 2
+    ps = out["obs_log"]["ljp"]["pressure"]
+    assert len(ps) == 2 and all(np.isfinite(p) for p in ps)

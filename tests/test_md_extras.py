@@ -11,7 +11,7 @@ import pytest
 from mdgrad_tpu import units, potentials, topology, thermo
 from mdgrad_tpu.system import System
 from mdgrad_tpu.interface import PairPotentials
-from mdgrad_tpu.md import Langevin, Simulation
+from mdgrad_tpu.md import Langevin, NoseHooverChain, Simulation
 from mdgrad_tpu.md.utils import write_xyz, read_xyz, NeuralMDLogger
 from mdgrad_tpu.nn import SchNet
 from mdgrad_tpu.nn.models import (GraphAttention, HybridGraphConv,
@@ -171,7 +171,7 @@ def test_pressure_ideal_gas():
     sys_.set_temperature(1.0 / units.kB, rng=rng)
 
     class Zero(PairPotentials):
-        def energy(self, params, xyz, aux):
+        def energy(self, params, xyz, aux, cell=None):
             return 0.0 * xyz.sum()
 
     inter = Zero(sys_, potentials.LennardJones(), cutoff=2.0)
@@ -204,3 +204,59 @@ def test_profiling_helpers(tmp_path):
 
     dt = profiling.time_fn(f, x, iters=3, warmup=1)
     assert dt > 0
+
+
+def test_pressure_matches_pair_virial():
+    """Strain-derivative virial == the analytic pair-sum virial
+    W = sum_pairs (-du/dr) r for LJ."""
+    rng = np.random.default_rng(2)
+    sys_ = System.from_lattice("fcc", 2, 1.72)
+    sys_.set_temperature(1.0 / units.kB, rng=rng)
+    lj = potentials.LennardJones(1.0, 1.0)
+    inter = PairPotentials(sys_, lj, cutoff=2.4, mode="dense")
+    xyz = jnp.asarray(sys_.get_positions()
+                      + 0.03 * rng.standard_normal((32, 3)))
+    v = jnp.asarray(sys_.get_velocities())
+    cell = sys_.get_cell()
+    P = thermo.pressure(inter, lj.init_params(), xyz, (), v,
+                        sys_.get_masses(), cell)
+
+    from mdgrad_tpu import topology
+    dist, valid = topology.distance_matrix(xyz, cell)
+    n = dist.shape[0]
+    mask = np.asarray(valid & jnp.triu(jnp.ones((n, n), bool), k=1)
+                      & (dist < 2.4))
+    r = np.asarray(dist)[mask]
+    w = (4.0 * (12 * r ** -12 - 6 * r ** -6)).sum()
+    V = float(np.abs(np.linalg.det(np.asarray(cell))))
+    ke = float(thermo.kinetic_energy(v, sys_.get_masses()))
+    np.testing.assert_allclose(float(P), (2 * ke + w) / (3 * V), rtol=1e-4)
+
+
+def test_pressure_differentiable_through_trajectory():
+    """The pressure head must backprop through the MD trajectory into
+    potential parameters (the fit_rdf_pair pressure target)."""
+    rng = np.random.default_rng(0)
+    sys_ = System.from_lattice("fcc", 2, 1.72)
+    sys_.set_temperature(1.0 / units.kB, rng=rng)
+    lj = potentials.LennardJones(0.9, 1.0)
+    inter = PairPotentials(sys_, lj, cutoff=2.4, mode="dense")
+    integ = NoseHooverChain(inter, sys_, T=1.0 / units.kB, num_chains=3,
+                            Q=50.0, adjoint=True)
+    sim = Simulation(sys_, integ)
+    ode = sim.epoch_fn(dt=0.005, frequency=5)
+    state, aux = sim.initial_state()
+    ctrl = integ.default_ctrl()
+    masses = sys_.get_masses()
+    cell = sys_.get_cell()
+
+    def loss(params):
+        traj, _ = ode(params, state, aux, ctrl)
+        P = jax.vmap(lambda q, v: thermo.pressure(
+            inter, params, q, (), v, masses, cell))(traj.q[2:], traj.v[2:])
+        return (P.mean() - 1.5) ** 2
+
+    g = jax.grad(loss)(sim.params)
+    vals = [abs(float(g[k])) for k in g]
+    assert all(np.isfinite(v) for v in vals)
+    assert sum(vals) > 0
