@@ -2,7 +2,9 @@ from .integrators import (NVE, NoseHooverChain, Langevin, NVEState,
                           NVTState)
 from .simulation import Simulation, Simulations
 from .adjoint import make_odeint
+from .tinydiffeq import odeint
 from .isomerization import Isomerization
 
 __all__ = ["NVE", "NoseHooverChain", "Langevin", "NVEState", "NVTState",
-           "Simulation", "Simulations", "make_odeint", "Isomerization"]
+           "Simulation", "Simulations", "make_odeint", "odeint",
+           "Isomerization"]
