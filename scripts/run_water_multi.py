@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Concurrent multi-temperature water fitting: the sharded replacement
+for the reference's serial state-point loop
+(/root/reference/scripts/fit_rdf_gnn.py:388).
+
+All requested temperatures train in ONE compiled dp-sharded program
+(train/fit_rdf_multi.py); on a single chip the stacked program fills the
+device the serial loop leaves idle."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-logdir", type=str, default="outputs/water_multi")
+    p.add_argument("-data", type=str, nargs="+",
+                   default=["H20_298K_redd", "H20_308K_redd",
+                            "H20_338K_redd"])
+    p.add_argument("-nepochs", type=int, default=500)
+    p.add_argument("-nsim", type=int, default=10)
+    p.add_argument("-size", type=int, default=4)
+    p.add_argument("-frame_skip", type=int, default=20)
+    p.add_argument("-lr", type=float, default=0.0001839)
+    p.add_argument("-compute_dtype", type=str, default="float32")
+    p.add_argument("--dry_run", action="store_true")
+    args = p.parse_args()
+
+    # GNN best params (reference run_water.py:32-46)
+    assignments = {
+        "cutoff": 6.0, "epsilon": 0.010637550996566496,
+        "gaussian_width": 0.195, "lr": args.lr,
+        "n_atom_basis": "low", "n_filters": "low", "n_convolutions": 2,
+        "nbins": 109, "opt_freq": 52, "sigma": 2.61227614490785,
+        "compute_dtype": args.compute_dtype,
+    }
+    sys_params = {
+        "dt": 0.5, "n_epochs": args.nepochs, "n_sim": args.nsim,
+        "data": args.data, "size": args.size,
+        "frame_skip": args.frame_skip, "topology_update_freq": 1,
+    }
+    if args.dry_run:
+        assignments["opt_freq"] = 25
+        sys_params.update(n_epochs=2, n_sim=1, size=2, frame_skip=5,
+                          test_nbins=100)
+
+    from mdgrad_tpu.train.fit_rdf_multi import fit_rdf_multistate
+    out = fit_rdf_multistate(assignments, sys_params,
+                             model_path=os.path.join(args.logdir, "0"))
+    print("objective:", out["objective"])
+    for tag, fin in out["final"].items():
+        print(f"  {tag}: mse {fin['mse']:.4f}")
+
+
+if __name__ == "__main__":
+    main()
