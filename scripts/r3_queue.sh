@@ -18,6 +18,9 @@ run bench_backward python benchmarks/bench_backward.py
 # 2. GNN multistate wall-clock (serial loop vs stacked program)
 run bench_multistate_gnn python benchmarks/bench_multistate_gnn.py 4
 
+# 2b. consolidated pallas pair-kernel table (one protocol, all paths)
+run bench_pair_kernel python benchmarks/bench_pair_kernel.py
+
 # 3. water multi-T concurrent GNN fit (the flagship demo)
 run water_multi python scripts/run_water_multi.py \
   -logdir results/water_multi_r3 -nepochs 500 -nsim 10
