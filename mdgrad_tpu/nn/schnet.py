@@ -39,10 +39,12 @@ from .layers import shifted_softplus, gaussian_smearing
 
 
 # Largest atom count at which the one-hot MXU aggregation still beats the
-# plain gather (measured on TPU v5e, benchmarks/bench_gather_mode.py: the
-# (N*K, N) one-hot's O(N^2 K F) FLOPs grow quadratically while the
-# gather's bytes grow linearly).  Above it, 'auto' switches to 'gather'.
-ONEHOT_MAX_ATOMS = 2048
+# plain gather (measured on TPU v5e, benchmarks/bench_gather_mode.py:
+# fit-epoch ratio onehot/gather = 0.65 @256, 0.83 @2048, 1.03 @4000,
+# 1.52 @8788 -- the (N*K, N) one-hot's O(N^2 K F) FLOPs grow
+# quadratically while the gather's bytes grow linearly).  Above it,
+# 'auto' switches to 'gather'.
+ONEHOT_MAX_ATOMS = 3500
 
 
 def resolve_gather_mode(backend, n_atoms, threshold=None):
