@@ -155,3 +155,43 @@ def test_sharded_loss_matches_unsharded_gradients(sys108):
         np.testing.assert_allclose(np.asarray(g_sharded[k]),
                                    np.asarray(g_ref[k]), rtol=2e-3,
                                    atol=1e-7)
+
+
+def test_sp_sharded_gnn_epoch_matches_unsharded():
+    """Atom-sharded (GSPMD) SchNet epoch == the unsharded program:
+    commit state/aux rows to the 'sp' axis and run the SAME compiled
+    library epoch (parallel/spatial_gnn.shard_gnn_state)."""
+    from mdgrad_tpu.nn import SchNet
+    from mdgrad_tpu.interface import GNNPotentials
+    from mdgrad_tpu.md import NoseHooverChain, Simulation
+    from mdgrad_tpu.parallel import make_mesh
+    from mdgrad_tpu.parallel.spatial_gnn import shard_gnn_state
+
+    sys_ = System.from_lattice("fcc", 2, 1.76)  # 32 atoms
+    sys_.set_temperature(1.0 / units.kB, rng=np.random.default_rng(0))
+    gnn = SchNet({"n_atom_basis": 16, "n_filters": 16, "n_gaussians": 8,
+                  "n_convolutions": 2, "cutoff": 1.6})
+    inter = GNNPotentials(sys_, gnn, cutoff=1.6, nbr_mode="table",
+                          k_max=16)
+    integ = NoseHooverChain(inter, sys_, T=1.0 / units.kB, num_chains=3,
+                            Q=50.0, adjoint=True)
+    sim = Simulation(sys_, integ)
+    ode = sim.epoch_fn(dt=0.005, frequency=5)
+    state, aux = sim.initial_state()
+    ctrl = integ.default_ctrl()
+
+    def loss(p, st, ax):
+        traj, _ = ode(p, st, ax, ctrl)
+        return (traj.q[-1] ** 2).sum()
+
+    l_ref, g_ref = jax.value_and_grad(loss)(sim.params, state, aux)
+
+    mesh = make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    st_s, ax_s = shard_gnn_state(state, aux, mesh)
+    l_s, g_s = jax.value_and_grad(loss)(sim.params, st_s, ax_s)
+
+    np.testing.assert_allclose(float(l_s), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
