@@ -294,12 +294,24 @@ def make_stack_multistate_fit(integ, dt, n_steps, nbins, rdf_range,
 
     dp = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
+    # dp x sp composition: when the mesh also has an atom axis, (S, N, 3)
+    # state leaves shard over BOTH (one state per dp group, its atoms
+    # split over sp -- GSPMD inserts the sender-feature all-gathers)
+    has_sp = "sp" in mesh.axis_names
+
+    def state_sharding(x):
+        if has_sp and x.ndim >= 2:
+            return NamedSharding(mesh, P("dp", "sp"))
+        return dp
 
     def sharded_loss_fn(params, states, cell_lens, kTs, targets, rhos):
-        # commit every per-state operand to the dp axis; params replicated.
-        # GSPMD partitions the vmapped program over states and inserts the
-        # gradient all-reduce for the replicated params automatically.
-        states = jax.lax.with_sharding_constraint(states, dp)
+        # commit every per-state operand to the dp (x sp) axes; params
+        # replicated.  GSPMD partitions the vmapped program over states
+        # (and atoms) and inserts the gradient all-reduce for the
+        # replicated params automatically.
+        states = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, state_sharding(x)), states)
         cell_lens = jax.lax.with_sharding_constraint(
             jnp.asarray(cell_lens), dp)
         kTs = jax.lax.with_sharding_constraint(jnp.asarray(kTs), dp)
