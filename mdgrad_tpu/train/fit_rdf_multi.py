@@ -222,15 +222,24 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                         {"loss_log": loss_log, "js_log": js_log})
 
     # inference: per state point, standard single-system rollout at the
-    # 800-bin resolution (same protocol as fit_rdf:420-457)
+    # 800-bin resolution (same protocol as fit_rdf:420-457); val tags
+    # (sys_params['val']) are held-out state points evaluated with the
+    # trained params but never trained on -- the transferability check
     results = {"loss_log": loss_log, "js_log": js_log, "final": {},
                "params": params}
     test_nbins = sys_params.get("test_nbins", 800)
     n_sim = sys_params.get("n_sim", 2)
     total = 0.0
-    for j, tag in enumerate(train_list):
-        system = comps["systems"][j]
-        state_j = jax.tree_util.tree_map(lambda x: x[j], states)
+    val_list = list(sys_params.get("val") or [])
+    val_systems = {t: get_system(t, sys_params["size"], registry, rng=rng)
+                   for t in val_list}
+    for j, tag in enumerate(train_list + val_list):
+        if tag in val_systems:
+            system = val_systems[tag]
+            state_j = None
+        else:
+            system = comps["systems"][j]
+            state_j = jax.tree_util.tree_map(lambda x: x[j], states)
         cutoff = assignments["cutoff"]
         prior_int = PairPotentials(system, comps["prior"], cutoff=cutoff)
         nn_int = GNNPotentials(system, comps["net"], cutoff=cutoff) \
@@ -242,9 +251,14 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                                   T=registry_T_kelvin(registry[tag]),
                                   Q=50.0, num_chains=5, adjoint=False)
         sim = Simulation(system, integ_j, params=params)
-        sim.state = state_j
-        sim.aux = integ_j.aux_init(state_j.q)
-        frames = [np.asarray(state_j.q)]
+        if state_j is not None:
+            sim.state = state_j
+            sim.aux = integ_j.aux_init(state_j.q)
+            frames = [np.asarray(state_j.q)]
+        else:
+            # held-out state: equilibrate from the lattice first
+            sim.simulate(steps=300, dt=dt, frequency=100)
+            frames = []
         for _ in range(n_sim):
             traj = sim.simulate(steps=100, dt=dt, frequency=25)
             f = np.asarray(traj.q[-1])
@@ -257,8 +271,12 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                          for f in frames], axis=0)
         mse = float(((np.asarray(g_obs) - g_sim) ** 2).mean())
         results["final"][tag] = {"r": x, "g_sim": g_sim,
-                                 "g_obs": np.asarray(g_obs), "mse": mse}
-        total += mse
+                                 "g_obs": np.asarray(g_obs), "mse": mse,
+                                 "held_out": tag in val_systems}
+        if tag in val_systems:
+            results.setdefault("val_mse", {})[tag] = mse
+        else:
+            total += mse
         if model_path:
             np.savetxt(os.path.join(model_path, f"rdf_{tag}.csv"),
                        np.vstack([x, g_sim]), delimiter=",")
