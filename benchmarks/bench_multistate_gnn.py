@@ -97,9 +97,11 @@ def bench_stacked(systems, temps, reps=3):
     prior = potentials.ExcludedVolume(sigma=2.6, epsilon=0.01, power=12)
     rhos = [s.get_number_of_atoms() / s.get_volume() for s in systems]
     proto = systems[int(np.argmax(rhos))]
+    # same capacity_slack as the serial side's default: K must match or
+    # the comparison measures padding, not orchestration
     stack = Stack({
         "nn": GNNPotentials(proto, gnn, cutoff=CUT, nbr_mode="table",
-                            capacity_slack=2.0),
+                            capacity_slack=1.6),
         "pair": PairPotentials(proto, prior, cutoff=CUT, mode="dense")})
     dyn = WithDynamicCell(stack, np.diag(proto.get_cell()))
     integ = NoseHooverChain(dyn, proto, T=temps[0], Q=50.0, num_chains=5,

@@ -171,7 +171,10 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
         elif sys_params.get("tpair_flag"):
             nn_int = TPairPotentials(system, net, T_kelvin, cutoff=cutoff)
         else:
-            nn_int = GNNPotentials(system, net, cutoff=cutoff)
+            nn_int = GNNPotentials(
+                system, net, cutoff=cutoff,
+                capacity_slack=float(sys_params.get("capacity_slack",
+                                                    1.6)))
         stack = Stack({"nn": nn_int, "pair": prior_int})
         integ = NoseHooverChain(
             stack, system, T=T_kelvin, Q=50.0, num_chains=5, adjoint=True,

@@ -35,7 +35,11 @@ def main():
     p.add_argument("-angle_weight", type=float, default=1.0)
     p.add_argument("--dry_run", action="store_true")
     p.add_argument("-compute_dtype", type=str, default="float32",
-                   help="SchNet filter-net dtype (float32 | bf16)")
+                   help="SchNet filter-net dtype (float32 | bf16 | "
+                        "mixed)")
+    p.add_argument("-capacity_slack", type=float, default=1.6,
+                   help="neighbor-table k_max headroom; 1.25 is +19%% "
+                        "steps/s, watch for overflow warnings")
     args = p.parse_args()
 
     if args.pair or args.tpair:
@@ -62,6 +66,7 @@ def main():
         "data": args.data, "val": args.val, "size": 4,
         "anneal_flag": "False", "pair_flag": args.pair,
         "tpair_flag": args.tpair, "topology_update_freq": 1,
+        "capacity_slack": args.capacity_slack,
     }
     if args.angle:
         assignments.update(angle_weight=args.angle_weight,
