@@ -259,13 +259,17 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
             # held-out state: equilibrate from the lattice first
             sim.simulate(steps=300, dt=dt, frequency=100)
             frames = []
+        last_good = (sim.state, sim.aux)
         for _ in range(n_sim):
             traj = sim.simulate(steps=100, dt=dt, frequency=25)
             f = np.asarray(traj.q[-1])
             if np.isfinite(f).all():
                 frames.append(f)
+                last_good = (sim.state, sim.aux)
             else:
-                log(f"inference rollout diverged for {tag}; frame skipped")
+                log(f"inference rollout diverged for {tag}; frame "
+                    "skipped, restarting from last good state")
+                sim.state, sim.aux = last_good
         x, g_obs, obs = get_observer(system, tag, test_nbins, registry)
         g_sim = np.mean([np.asarray(obs(jnp.asarray(f))[2])
                          for f in frames], axis=0)
