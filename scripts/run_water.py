@@ -37,6 +37,11 @@ def main():
     p.add_argument("-compute_dtype", type=str, default="float32",
                    help="SchNet filter-net dtype (float32 | bf16 | "
                         "mixed)")
+    p.add_argument("-rdf_backend", type=str, default="xla",
+                   help="'pallas' streams the soft histogram (O(tile) "
+                        "memory; the fast path for high-nbins pair "
+                        "losses, e.g. tpair's 400 bins)")
+    p.add_argument("-frame_skip", type=int, default=20)
     p.add_argument("-capacity_slack", type=float, default=1.6,
                    help="neighbor-table k_max headroom; 1.25 is +19%% "
                         "steps/s, watch for overflow warnings")
@@ -67,7 +72,9 @@ def main():
         "anneal_flag": "False", "pair_flag": args.pair,
         "tpair_flag": args.tpair, "topology_update_freq": 1,
         "capacity_slack": args.capacity_slack,
+        "frame_skip": args.frame_skip,
     }
+    assignments["rdf_backend"] = args.rdf_backend
     if args.angle:
         assignments.update(angle_weight=args.angle_weight,
                            angle_cutoff=args.angle_cutoff,
