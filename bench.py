@@ -52,8 +52,13 @@ def build():
     gnn = SchNet({"n_atom_basis": 128, "n_filters": 128, "n_gaussians": 40,
                   "n_convolutions": 2, "cutoff": 6.0,
                   "compute_dtype": "bf16"})
+    # capacity_slack=1.25 (k_max 40 vs 48): every conv tensor is
+    # (N, K, ...) so the tighter K removes pure masked-padding work at
+    # identical physics -- zero neighbor overflow across the bench epoch
+    # (bench_backward.py, identical loss to slack 1.6) and across a full
+    # 150-epoch water fit (results/water_slim_r3)
     stack = Stack({
-        "nn": GNNPotentials(system, gnn, cutoff=6.0),
+        "nn": GNNPotentials(system, gnn, cutoff=6.0, capacity_slack=1.25),
         "prior": PairPotentials(system, potentials.ExcludedVolume(
             sigma=2.6, epsilon=0.01, power=12), cutoff=6.0, mode="dense"),
     })
