@@ -96,7 +96,7 @@ class SchNetConv(fnn.Module):
     @fnn.compact
     def __call__(self, r, e, idx, mask, n_atoms, aggr_wgt=None,
                  directed=False, edge_format="pairs",
-                 runtime_cutoff=None, onehot=None):
+                 runtime_cutoff=None, onehot=None, flat_idx=None):
         # edge filter: smearing -> Dense -> ssp -> Dense
         # (reference modules.py:530-541)
         init_off = np.linspace(0.0, self.cutoff, self.n_gaussians)
@@ -145,7 +145,21 @@ class SchNetConv(fnn.Module):
             # (N, K) neighbor-table aggregation: gather senders + reduce
             # over K -- NO scatter (TPU-friendly; see
             # topology.generate_neighbor_table).  e/ef are (N, K, ...).
-            if onehot is not None:
+            if flat_idx is not None:
+                # Pallas in-VMEM one-hot gather (ops/pallas_gather.py):
+                # same matmul math as the 'onehot' branch but the
+                # (N*K, N) one-hot operand never exists in HBM; the
+                # custom-vjp pair (gather <-> scatter) keeps every grad
+                # order on the MXU.
+                from ..ops.pallas_gather import table_gather
+                n, k = idx.shape
+                interp = jax.default_backend() == "cpu"
+                g = table_gather(rf, flat_idx,
+                                 cdt != jnp.bfloat16, interp)
+                g = g.reshape(n, k, -1).astype(adt)
+                m = mask[..., None].astype(ef.dtype)
+                agg = (g * ef * m).sum(1)
+            elif onehot is not None:
                 # gather-as-matmul: senders' features via a one-hot
                 # (N*K, N) matmul -- on TPU this rides the MXU, and every
                 # adjoint (incl. the force's grad-of-grad) stays a matmul
@@ -201,7 +215,9 @@ class _SchNetModule(fnn.Module):
     cutoff: float
     trainable_gauss: bool = False
     readout_keys: typing.Tuple[str, ...] = ("energy",)
-    gather_mode: str = "gather"  # 'gather' | 'onehot' (TPU MXU fast path)
+    # 'gather' | 'onehot' (TPU MXU fast path) | 'pallas' (one-hot matmul
+    # with the one-hot built in VMEM -- ops/pallas_gather.py)
+    gather_mode: str = "gather"
     compute_dtype: typing.Any = jnp.float32
 
     @fnn.compact
@@ -240,16 +256,23 @@ class _SchNetModule(fnn.Module):
                 backend = "cpu"
             gather_mode = resolve_gather_mode(backend, n_atoms)
         onehot = None
-        if edge_format == "table" and gather_mode == "onehot":
-            # shared across convolutions; bf16 one-hot (0/1 exact) keeps
-            # the matmul on the MXU's fast path with f32 accumulation
+        flat_idx = None
+        if edge_format == "table" and gather_mode in ("onehot", "pallas"):
             n, k = idx.shape
             eff_mask = mask
             if runtime_cutoff is not None:
                 eff_mask = eff_mask & (e.squeeze(-1) < runtime_cutoff)
             idx_m = jnp.where(eff_mask, idx, n_atoms)
-            onehot = jax.nn.one_hot(idx_m.reshape(-1), n_atoms + 1,
-                                    dtype=jnp.bfloat16)[:, :n_atoms]
+            if gather_mode == "pallas":
+                # sentinel rows (idx == n_atoms) give zero inside the
+                # kernel; shared across convolutions
+                flat_idx = idx_m.reshape(-1)
+            else:
+                # shared across convolutions; bf16 one-hot (0/1 exact)
+                # keeps the matmul on the MXU's fast path with f32
+                # accumulation
+                onehot = jax.nn.one_hot(idx_m.reshape(-1), n_atoms + 1,
+                                        dtype=jnp.bfloat16)[:, :n_atoms]
 
         r = fnn.Embed(100, self.n_atom_basis)(z)
         for _ in range(self.n_convolutions):
@@ -259,7 +282,8 @@ class _SchNetModule(fnn.Module):
                             self.compute_dtype)(r, e, idx, mask, n_atoms,
                                                 aggr_wgt, directed,
                                                 edge_format,
-                                                runtime_cutoff, onehot)
+                                                runtime_cutoff, onehot,
+                                                flat_idx)
             r = r + dr  # residual stack (reference schnet.py:149-151)
 
         out = {}

@@ -185,3 +185,114 @@ def test_differentiable_pallas_force_in_md_adjoint(perturbed_fcc):
         np.testing.assert_allclose(float(gp[k]), float(gx[k]), rtol=5e-3,
                                    atol=1e-7)
         assert abs(float(gp[k])) > 0
+
+
+# ---------------------------------------------------------------------------
+# in-VMEM one-hot gather/scatter pair (ops/pallas_gather.py)
+# ---------------------------------------------------------------------------
+
+def test_table_gather_scatter_match_oracle_any_grad_order():
+    """table_gather/table_scatter vs plain-XLA oracles, incl. the adjoint
+    identity <g, gather(v)> == <scatter(g), v> and reverse-over-reverse
+    (the force grad-of-grad pattern the SchNet adjoint needs)."""
+    from mdgrad_tpu.ops.pallas_gather import table_gather, table_scatter
+    rng = np.random.default_rng(0)
+    N, F, E = 37, 70, 211
+    vals = jnp.asarray(rng.normal(size=(N, F)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N + 1, size=E), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(E, F)), jnp.float32)
+
+    def oracle_gather(v):
+        ext = jnp.concatenate([v, jnp.zeros((1, F))])
+        return jnp.where((idx < N)[:, None], ext[jnp.clip(idx, 0, N)], 0.0)
+
+    out = table_gather(vals, idx, True, True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(oracle_gather(vals)),
+                               atol=5e-5)
+
+    g = jnp.asarray(rng.normal(size=(E, F)), jnp.float32)
+    sc = table_scatter(g, idx, N, True, True)
+    ref_sc = jax.ops.segment_sum(jnp.where((idx < N)[:, None], g, 0.0),
+                                 jnp.clip(idx, 0, N - 1), num_segments=N)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_sc),
+                               atol=1e-4)
+    # adjoint identity
+    np.testing.assert_allclose(float((g * out).sum()),
+                               float((sc * vals).sum()), rtol=1e-4)
+
+    # grad-of-grad: "force" of a gather-based energy, then a loss of it
+    def energy(v):
+        return (table_gather(v * v, idx, True, True) * w).sum()
+
+    def energy_o(v):
+        return (oracle_gather(v * v) * w).sum()
+
+    g2 = jax.grad(lambda v: (jax.grad(energy)(v) ** 2).sum())(vals)
+    g2o = jax.grad(lambda v: (jax.grad(energy_o)(v) ** 2).sum())(vals)
+    scale = np.abs(np.asarray(g2o)).max()
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2o),
+                               atol=1e-4 * scale)
+
+
+def test_schnet_pallas_gather_mode_matches_gather():
+    """gather_mode='pallas' must reproduce the plain gather path's energy
+    and forces (interpret mode on CPU; identical code compiles on TPU)."""
+    from mdgrad_tpu.nn import SchNet
+    from mdgrad_tpu.interface import GNNPotentials
+    sys_ = System.from_lattice("fcc", 2, 2.9)
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray(sys_.get_positions()
+                      + 0.08 * rng.standard_normal((32, 3)))
+    params_common = {"n_atom_basis": 16, "n_filters": 16, "n_gaussians": 8,
+                     "n_convolutions": 2, "cutoff": 2.5}
+    outs = {}
+    for mode in ("gather", "pallas"):
+        gnn = SchNet({**params_common, "gather_mode": mode})
+        inter = GNNPotentials(sys_, gnn, cutoff=2.5)
+        p = inter.init_params()
+        aux = inter.aux_init(xyz)
+        u = inter.energy(p, xyz, aux)
+        f = -jax.grad(inter.energy, argnums=1)(p, xyz, aux)
+        outs[mode] = (float(u), np.asarray(f))
+    np.testing.assert_allclose(outs["pallas"][0], outs["gather"][0],
+                               rtol=1e-5)
+    scale = np.abs(outs["gather"][1]).max()
+    np.testing.assert_allclose(outs["pallas"][1], outs["gather"][1],
+                               atol=5e-3 * scale + 1e-7)
+
+
+def test_schnet_pallas_mode_trains_through_adjoint():
+    """Fit-shaped grad (loss -> trajectory adjoint -> force grad-of-grad)
+    through gather_mode='pallas' stays finite and matches the gather
+    path."""
+    from mdgrad_tpu.nn import SchNet
+    from mdgrad_tpu.interface import GNNPotentials
+    from mdgrad_tpu.md import NoseHooverChain, Simulation
+    sys_ = System.from_lattice("fcc", 2, 2.9)
+    sys_.set_temperature(1.0 / units.kB, rng=np.random.default_rng(3))
+    params_common = {"n_atom_basis": 16, "n_filters": 16, "n_gaussians": 8,
+                     "n_convolutions": 2, "cutoff": 2.5}
+    grads = {}
+    for mode in ("gather", "pallas"):
+        gnn = SchNet({**params_common, "gather_mode": mode})
+        inter = GNNPotentials(sys_, gnn, cutoff=2.5)
+        integ = NoseHooverChain(inter, sys_, T=1.0 / units.kB,
+                                Q=50.0, adjoint=True)
+        sim = Simulation(sys_, integ)
+        ode = sim.epoch_fn(dt=0.005, frequency=8)
+        state, aux = sim.initial_state()
+        ctrl = integ.default_ctrl()
+
+        def loss(params):
+            traj, _ = ode(params, state, aux, ctrl)
+            return (traj.q[-1] ** 2).sum()
+
+        grads[mode] = jax.grad(loss)(sim.params)
+    ga = np.concatenate([np.ravel(x) for x in
+                         jax.tree_util.tree_leaves(grads["gather"])])
+    gp = np.concatenate([np.ravel(x) for x in
+                         jax.tree_util.tree_leaves(grads["pallas"])])
+    assert np.isfinite(gp).all()
+    scale = np.abs(ga).max()
+    np.testing.assert_allclose(gp, ga, atol=2e-3 * scale)
