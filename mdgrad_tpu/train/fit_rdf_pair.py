@@ -281,6 +281,7 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         # The reference intended this (thermo.py Pressure) but its
         # implementation is broken and unused.
         press_w = float(assignments.get("pressure_weight", 0.0))
+        press_skip = int(assignments.get("pressure_frame_skip", 10))
         use_press = press_w > 0.0 and p_t is not None
         stack_model = sim.integrator.model
         masses_j = systems[j].get_masses()
@@ -304,9 +305,26 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
                     loss = loss + vacf_w * (
                         (vacf_sim - vacf_t[:t_range]) ** 2).mean()
                 if use_press:
-                    p_sim = jax.vmap(lambda q, v: thermo.pressure(
-                        stack_model, p, q, aux, v, masses_j, cell_j,
-                        dim=dim_j))(frames, traj.v[::frame_skip]).mean()
+                    # sequential (lax.map) + rematerialized per-frame
+                    # virial on a coarser frame grid: the vmapped form
+                    # materialized (F, N, N, hidden) PairMLP
+                    # intermediates for EVERY frame at once -- 177 GB at
+                    # tau=120/N=500 under the training grad (compile
+                    # OOM).  The pressure estimator does not need every
+                    # frame; frames decorrelate over ~10 steps.
+                    pskip = press_skip
+                    p_frames = traj.q[::pskip]
+                    p_vels = traj.v[::pskip]
+
+                    @jax.checkpoint
+                    def frame_pressure(qv):
+                        q, v = qv
+                        return thermo.pressure(
+                            stack_model, p, q, aux, v, masses_j, cell_j,
+                            dim=dim_j)
+
+                    p_sim = jax.lax.map(frame_pressure,
+                                        (p_frames, p_vels)).mean()
                     loss = loss + press_w * (p_sim - p_t) ** 2
                 else:
                     p_sim = jnp.zeros(())
