@@ -146,19 +146,21 @@ class SchNetConv(fnn.Module):
             # over K -- NO scatter (TPU-friendly; see
             # topology.generate_neighbor_table).  e/ef are (N, K, ...).
             if flat_idx is not None:
-                # Pallas in-VMEM one-hot gather (ops/pallas_gather.py):
-                # same matmul math as the 'onehot' branch but the
-                # (N*K, N) one-hot operand never exists in HBM; the
-                # custom-vjp pair (gather <-> scatter) keeps every grad
-                # order on the MXU.
-                from ..ops.pallas_gather import table_gather
+                # Fused Pallas aggregation (ops/pallas_gather.py): the
+                # sender-feature gather (an in-VMEM one-hot matmul -- the
+                # (N*K, N) one-hot never exists in HBM), the edge-filter
+                # multiply, and the K-reduction run in ONE kernel pass,
+                # so the gathered (N*K, F) tensor never exists in HBM
+                # either.  The custom-vjp backward is built from the
+                # linear gather/scatter pair, keeping every grad order
+                # (incl. the force's grad-of-grad) on the MXU.
+                from ..ops.pallas_gather import gather_mul_reduce
                 n, k = idx.shape
                 interp = jax.default_backend() == "cpu"
-                g = table_gather(rf, flat_idx,
-                                 cdt != jnp.bfloat16, interp)
-                g = g.reshape(n, k, -1).astype(adt)
                 m = mask[..., None].astype(ef.dtype)
-                agg = (g * ef * m).sum(1)
+                w = (ef * m).reshape(n * k, -1)
+                agg = gather_mul_reduce(rf, w, flat_idx, k,
+                                        cdt != jnp.bfloat16, interp)
             elif onehot is not None:
                 # gather-as-matmul: senders' features via a one-hot
                 # (N*K, N) matmul -- on TPU this rides the MXU, and every

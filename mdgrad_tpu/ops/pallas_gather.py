@@ -208,3 +208,95 @@ def _scatter_bwd(n, split, interpret, idx, ct):
 
 
 table_scatter.defvjp(_scatter_fwd, _scatter_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused gather * weight -> K-reduction (the whole SchNet table aggregation)
+# ---------------------------------------------------------------------------
+
+_TN = 16  # atoms per grid step in the fused kernel
+
+
+def _gmr_kernel(split, k, idx_ref, w_ref, val_ref, out_ref):
+    oh = _onehot_tile(idx_ref[:, :], val_ref.shape[0], jnp.bfloat16)
+    vals = val_ref[:, :]
+    if split:
+        hi = vals.astype(jnp.bfloat16)
+        lo = (vals - hi.astype(vals.dtype)).astype(jnp.bfloat16)
+        g = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+        g = g + jnp.dot(oh, lo, preferred_element_type=jnp.float32)
+    else:
+        g = jnp.dot(oh, vals.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    prod = g * w_ref[:, :].astype(jnp.float32)       # (TN*K, F)
+    f = prod.shape[-1]
+    agg = prod.reshape(_TN, k, f).sum(1)             # (TN, F)
+    out_ref[:, :] = agg.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "split", "interpret"))
+def _gmr_impl(values, w, idx, k, split=True, interpret=False):
+    n_out = idx.shape[0] // k
+    n, f = values.shape
+    n_pad = _round_up(max(n, _SUBLANE), _SUBLANE)
+    f_pad = _round_up(max(f, _LANE), _LANE)
+    tile_e = _TN * k
+    n_out_pad = _round_up(max(n_out, _TN), _TN)
+    e_pad = n_out_pad * k
+    idx2 = jnp.full((e_pad, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
+    idx2 = idx2.at[:idx.shape[0], 0].set(jnp.asarray(idx, jnp.int32))
+    w2 = jnp.zeros((e_pad, f_pad), w.dtype).at[:w.shape[0], :f].set(w)
+    vals = jnp.zeros((n_pad, f_pad), values.dtype).at[:n, :f].set(values)
+    out = pl.pallas_call(
+        functools.partial(_gmr_kernel, split, k),
+        grid=(e_pad // tile_e,),
+        in_specs=[
+            pl.BlockSpec((tile_e, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_e, f_pad), lambda i: (i, 0)),
+            pl.BlockSpec((n_pad, f_pad), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_TN, f_pad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_out_pad, f_pad), w.dtype),
+        interpret=interpret,
+    )(idx2, w2, vals)
+    return out[:n_out, :f]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def gather_mul_reduce(values, w, idx, k, split=True, interpret=False):
+    """``out[i] = sum_k values[idx[i*K+k]] * w[i*K+k]`` -- the SchNet table
+    aggregation (sender-feature gather x edge filter, reduced over the
+    K neighbor slots) in ONE kernel pass: the gathered (E, F) tensor
+    never exists in HBM.
+
+    values: (N, F); w: (E, F) with E = n_out * k, atom-major edge order
+    (= ``idx.reshape(-1)`` of an (n_out, K) table), masked/padded edges
+    carried by the sentinel index (>= N -> zero row) or zero weight.
+    Returns (E // k, F) in w.dtype.
+
+    Bilinear in (values, w); the custom-vjp backward is built from
+    :func:`table_gather` / :func:`table_scatter` + elementwise ops, so
+    reverse-mode composes to any order (force grad-of-grad included).
+    """
+    return _gmr_impl(values, w, idx, k, split=split, interpret=interpret)
+
+
+def _gmr_fwd(values, w, idx, k, split, interpret):
+    return (gather_mul_reduce(values, w, idx, k, split, interpret),
+            (values, w, idx))
+
+
+def _gmr_bwd(k, split, interpret, res, ct):
+    values, w, idx = res
+    f = values.shape[1]
+    ct_e = jnp.repeat(ct, k, axis=0).astype(jnp.float32)   # (E, F)
+    gathered = table_gather(values, idx, split, interpret).astype(
+        jnp.float32)
+    d_w = (gathered * ct_e).astype(w.dtype)
+    d_vals = table_scatter((w.astype(jnp.float32) * ct_e), idx,
+                           values.shape[0], split,
+                           interpret).astype(values.dtype)
+    return d_vals, d_w, _int_zero(idx)
+
+
+gather_mul_reduce.defvjp(_gmr_fwd, _gmr_bwd)

@@ -296,3 +296,39 @@ def test_schnet_pallas_mode_trains_through_adjoint():
     assert np.isfinite(gp).all()
     scale = np.abs(ga).max()
     np.testing.assert_allclose(gp, ga, atol=2e-3 * scale)
+
+
+def test_gather_mul_reduce_matches_oracle():
+    """Fused aggregation kernel (gather x weight -> K-reduce) vs plain
+    ops, values/weight grads and the grad-of-grad pattern."""
+    from mdgrad_tpu.ops.pallas_gather import gather_mul_reduce
+    rng = np.random.default_rng(0)
+    N, F, K, NO = 37, 70, 12, 29
+    vals = jnp.asarray(rng.normal(size=(N, F)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N + 1, size=NO * K), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(NO * K, F)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(NO, F)), jnp.float32)
+
+    def oracle(v, w_):
+        ext = jnp.concatenate([v, jnp.zeros((1, F))])
+        g = jnp.where((idx < N)[:, None], ext[jnp.clip(idx, 0, N)], 0.0)
+        return (g * w_).reshape(NO, K, F).sum(1)
+
+    out = gather_mul_reduce(vals, w, idx, K, True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle(vals, w)),
+                               atol=2e-4)
+    g1 = jax.grad(lambda v, w_: (gather_mul_reduce(
+        v, w_, idx, K, True, True) * ct).sum(), argnums=(0, 1))(vals, w)
+    g2 = jax.grad(lambda v, w_: (oracle(v, w_) * ct).sum(),
+                  argnums=(0, 1))(vals, w)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               atol=2e-4)
+    h1 = jax.grad(lambda v: (jax.grad(lambda v_: (gather_mul_reduce(
+        v_ * v_, w, idx, K, True, True) * ct).sum())(v) ** 2).sum())(vals)
+    h2 = jax.grad(lambda v: (jax.grad(lambda v_: (oracle(
+        v_ * v_, w) * ct).sum())(v) ** 2).sum())(vals)
+    scale = np.abs(np.asarray(h2)).max()
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               atol=1e-4 * scale)
