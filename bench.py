@@ -119,6 +119,19 @@ def main():
             print(f"# cost_analysis: {flops_per_call/1e9:.2f} GFLOP/epoch"
                   f" -> {tflops:.2f} TFLOP/s achieved "
                   f"({mfu:.1f}% of v5e bf16 peak)", file=sys.stderr)
+        # bandwidth roofline: low MFU is expected iff the program is
+        # HBM-bound -- compare XLA's bytes-accessed against the v5e
+        # HBM feed at the measured wall time
+        bytes_per_call = float(ca.get("bytes accessed", 0.0))
+        if bytes_per_call > 0:
+            V5E_HBM_GBS = 819.0  # GB/s
+            hbm_floor = bytes_per_call / (V5E_HBM_GBS * 1e9)
+            frac = 100.0 * hbm_floor / (elapsed / n_rep)
+            print(f"# bytes accessed: {bytes_per_call/1e9:.2f} GB/epoch"
+                  f" -> HBM-roofline floor {hbm_floor*1e3:.1f} ms vs"
+                  f" measured {elapsed/n_rep*1e3:.1f} ms"
+                  f" ({frac:.0f}% of wall is the memory floor)",
+                  file=sys.stderr)
     except Exception as e:  # pragma: no cover - cost model optional
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
