@@ -101,6 +101,31 @@ class PairPotentials(Interaction):
             xyz0 = jnp.asarray(system.get_positions())
             self.capacity = capacity or topology.estimate_capacity(
                 xyz0, cutoff, self.cell, self.select_mask)
+        elif mode == "table":
+            # (N, K) neighbor-table pair evaluation: the pair model runs
+            # on N*K gathered slots instead of all N^2 entries.  Dense
+            # wins for CHEAP closed-form pairs (CLAUDE.md rule 5: the
+            # bottleneck there is geometry), but for MLP pair models
+            # (PairMLP/TPairMLP) the per-pair network activations are
+            # (N, N, hidden) in dense mode -- 120 MB per layer at
+            # N=512/hidden=115, HBM-bound -- and the table cuts those
+            # bytes ~13x.  Diagonal cells only (elementwise minimum
+            # image, offset-free tables); supports the dynamic ``cell=``
+            # override like the GNN table path.
+            if not (self.cell.ndim == 1 or topology._is_diagonal(self.cell)):
+                raise ValueError("mode='table' requires a diagonal cell")
+            xyz0 = jnp.asarray(system.get_positions())
+            d, _ = topology.displacement_matrix(xyz0, self.cell)
+            dist_sq = (d ** 2).sum(-1) + jnp.eye(n) * 1e9
+            within = dist_sq < cutoff ** 2
+            if self.select_mask is not None:
+                within = within & self.select_mask
+            k0 = int(jnp.max(within.sum(-1)))
+            slack = 1.6
+            self.k_max = min(
+                int(np.ceil(max(k0, 1) * slack / 8) * 8), n)
+            self.cell_len = (jnp.diag(self.cell)
+                             if self.cell.ndim == 2 else self.cell)
 
     def init_params(self):
         return self.model.init_params()
@@ -109,15 +134,15 @@ class PairPotentials(Interaction):
         if self.mode == "dense":
             return ()
         cell = self.cell if cell is None else cell
+        if self.mode == "table":
+            return topology.generate_neighbor_table(
+                xyz, self.cutoff, cell, self.k_max, self.select_mask,
+                store_offsets=False)
         return topology.generate_nbr_list(
             xyz, self.cutoff, cell, self.capacity, self.select_mask)
 
     def aux_update(self, xyz, aux, cell=None):
-        if self.mode == "dense":
-            return ()
-        cell = self.cell if cell is None else cell
-        return topology.generate_nbr_list(
-            xyz, self.cutoff, cell, self.capacity, self.select_mask)
+        return self.aux_init(xyz, cell=cell)
 
     def _pair_energy(self, params, r):
         return self.model(params, r)
@@ -134,6 +159,25 @@ class PairPotentials(Interaction):
             safe = jnp.where(mask, dist, 1.0)
             u = self._pair_energy(params, safe[..., None]).squeeze(-1)
             return jnp.where(mask, u, 0.0).sum()
+        if self.mode == "table":
+            nbrs = aux
+            cl = (jnp.diag(cell) if jnp.asarray(cell).ndim == 2
+                  else jnp.asarray(cell))
+            ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
+            d_raw = xyz[:, None, :] - ext[nbrs.table]
+            # elementwise minimum image; the offset choice is piecewise
+            # constant -> stop_gradient keeps forces exact away from L/2
+            off = jax.lax.stop_gradient(
+                -(d_raw > 0.5 * cl).astype(d_raw.dtype)
+                + (d_raw < -0.5 * cl).astype(d_raw.dtype))
+            d = d_raw + off * cl
+            dist_sq = (d ** 2).sum(-1)
+            # safe distance BEFORE the model: u'(r->0)=inf and 0*inf=NaN
+            # in the force pass even under masking (where-gradient trap)
+            safe = jnp.sqrt(jnp.where(nbrs.mask, dist_sq, 1.0))
+            u = self._pair_energy(params, safe[..., None]).squeeze(-1)
+            # each pair appears in both atoms' rows
+            return 0.5 * jnp.where(nbrs.mask, u, 0.0).sum()
         nbrs = aux
         r = topology.compute_dis(xyz, nbrs.idx, nbrs.offsets, cell)
         u = self._pair_energy(params, r).squeeze(-1)

@@ -72,10 +72,15 @@ class rdf:
                 raise ValueError("pallas rdf backend does not support "
                                  "index_tuple")
             from .ops.pallas_rdf import make_pallas_rdf
+            try:
+                on_cpu = jax.default_backend() == "cpu"
+            except Exception:  # pragma: no cover - no devices
+                on_cpu = True
             self._pallas_counts = make_pallas_rdf(
                 np.diag(np.asarray(system.get_cell())),
                 np.asarray(self.smear.offsets),
-                np.asarray(self.smear.widths), self.cutoff_boundary)
+                np.asarray(self.smear.widths), self.cutoff_boundary,
+                interpret=on_cpu)
 
     def _frame_counts(self, xyz):
         dist, valid = topology.distance_matrix(xyz, self.cell)

@@ -166,10 +166,16 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
         if str(sys_params.get("anneal_flag")) == "True":
             system.set_temperature(assignments["start_T"], rng=rng)
         prior_int = PairPotentials(system, prior, cutoff=cutoff)
+        # MLP pair models default to the (N, K) table: dense mode's
+        # (N, N, hidden) activations are HBM-bound at fit scale
+        # (~13x the bytes; tpair epochs ran 28 s dense vs the table's
+        # few seconds) while closed-form priors stay dense
+        pmode = sys_params.get("pair_mode", "table")
         if sys_params.get("pair_flag"):
-            nn_int = PairPotentials(system, net, cutoff=cutoff)
+            nn_int = PairPotentials(system, net, cutoff=cutoff, mode=pmode)
         elif sys_params.get("tpair_flag"):
-            nn_int = TPairPotentials(system, net, T_kelvin, cutoff=cutoff)
+            nn_int = TPairPotentials(system, net, T_kelvin, cutoff=cutoff,
+                                     mode=pmode)
         else:
             nn_int = GNNPotentials(
                 system, net, cutoff=cutoff,

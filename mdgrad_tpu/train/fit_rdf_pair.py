@@ -185,8 +185,13 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
     params = None
     for tag in all_sys:
         system = get_system(tag, size, registry, rng=rng)
+        # the MLP runs on the (N, K) table (dense (N, N, hidden)
+        # activations are the HBM bottleneck -- see PairPotentials
+        # mode='table'); the closed-form prior stays dense
         stack = Stack({
-            "pairnn": PairPotentials(system, net, cutoff=cutoff),
+            "pairnn": PairPotentials(
+                system, net, cutoff=cutoff,
+                mode=sys_params.get("pair_mode", "table")),
             "pair": PairPotentials(system, prior, cutoff=2.5),
         })
         integ = NoseHooverChain(

@@ -88,3 +88,70 @@ def test_angle_data_loader():
     assert d.shape == (64,)
     np.testing.assert_allclose(d.sum(), 1.0, rtol=1e-6)
     assert os.path.exists(angle_data_dict["water"][2.7])
+
+
+def test_pair_table_mode_matches_dense():
+    """PairPotentials mode='table' ((N, K) gather path for MLP pair models,
+    where dense (N, N, hidden) activations are the HBM bottleneck) agrees
+    with mode='dense' on energy, forces, and fit-shaped parameter grads."""
+    from mdgrad_tpu.nn import PairMLP
+    from mdgrad_tpu.interface import PairPotentials
+    sys_ = System.from_lattice("fcc", 3, 1.679)
+    sys_.set_temperature(1.2 / units.kB, rng=np.random.default_rng(1))
+    net = PairMLP(n_gauss=16, r_start=0.0, r_end=3.0, n_layers=2,
+                  n_width=32)
+    rng = np.random.default_rng(2)
+    sys_.set_positions(np.asarray(sys_.get_positions())
+                       + 0.05 * rng.standard_normal(
+                           (sys_.get_number_of_atoms(), 3)))
+    dense = PairPotentials(sys_, net, cutoff=2.5, mode="dense")
+    table = PairPotentials(sys_, net, cutoff=2.5, mode="table")
+    params = dense.init_params()
+    xyz = jnp.asarray(sys_.get_positions())
+    aux = table.aux_init(xyz)
+    assert not bool(aux.mask[:, -1].any()), "k_max slack exhausted"
+
+    u_d = dense.energy(params, xyz, ())
+    u_t = table.energy(params, xyz, aux)
+    np.testing.assert_allclose(float(u_d), float(u_t), rtol=1e-5)
+
+    f_d = jax.grad(lambda x: dense.energy(params, x, ()))(xyz)
+    f_t = jax.grad(lambda x: table.energy(params, x, aux))(xyz)
+    np.testing.assert_allclose(np.asarray(f_d), np.asarray(f_t),
+                               rtol=1e-4, atol=1e-6)
+
+    # fit-shaped: d(sum of forces^2)/d(params) through each path
+    def floss(inter, aux_):
+        def inner(p):
+            f = jax.grad(lambda x: inter.energy(p, x, aux_))(xyz)
+            return (f ** 2).sum()
+        return jax.grad(inner)(params)
+    g_d = floss(dense, ())
+    g_t = floss(table, aux)
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_tpair_table_mode_dynamic_cell():
+    """TPairPotentials inherits mode='table'; the traced ``cell=`` override
+    (multistate per-state boxes) agrees with a rebuilt dense interaction."""
+    from mdgrad_tpu.nn import TPairMLP
+    sys_ = System.from_lattice("fcc", 2, 1.679)
+    net = TPairMLP(n_gauss=8, r_start=0.0, r_end=2.5, n_layers=1,
+                   n_width=16)
+    table = TPairPotentials(sys_, net, T_kelvin=300.0, cutoff=1.6,
+                            mode="table")
+    params = table.init_params()
+    xyz = jnp.asarray(sys_.get_positions())
+    cell2 = jnp.asarray(np.diag(sys_.get_cell())) * 1.05
+    aux2 = table.aux_init(xyz, cell=cell2)
+    u_t = float(table.energy(params, xyz, aux2, cell=cell2))
+
+    sys2 = System(np.asarray(sys_.get_positions()),
+                  np.diag(np.asarray(cell2)))
+    dense = TPairPotentials(sys2, net, T_kelvin=300.0, cutoff=1.6,
+                            mode="dense")
+    u_d = float(dense.energy(params, xyz, ()))
+    np.testing.assert_allclose(u_t, u_d, rtol=1e-5)
