@@ -75,7 +75,8 @@ class PairPotentials(Interaction):
     """
 
     def __init__(self, system, pair_model, cutoff=2.5, index_tuple=None,
-                 ex_pairs=None, mode="auto", capacity=None, cell=None):
+                 ex_pairs=None, mode="auto", capacity=None, cell=None,
+                 capacity_slack=1.6):
         check_system(system)
         self.model = pair_model
         self.cutoff = cutoff
@@ -121,9 +122,8 @@ class PairPotentials(Interaction):
             if self.select_mask is not None:
                 within = within & self.select_mask
             k0 = int(jnp.max(within.sum(-1)))
-            slack = 1.6
             self.k_max = min(
-                int(np.ceil(max(k0, 1) * slack / 8) * 8), n)
+                int(np.ceil(max(k0, 1) * capacity_slack / 8) * 8), n)
             self.cell_len = (jnp.diag(self.cell)
                              if self.cell.ndim == 2 else self.cell)
 
