@@ -72,7 +72,10 @@ def bench(name, mode, pressure_weight=0.0, reps=5):
             @jax.checkpoint
             def frame_pressure(qv):
                 q, v = qv
-                return thermo.pressure(stack, params, q, aux, v,
+                # per-frame topology refresh: a stale table biases the
+                # virial (see fit_rdf_pair frame_pressure)
+                fa = stack.aux_update(q, aux)
+                return thermo.pressure(stack, params, q, fa, v,
                                        masses, cell)
 
             p = jax.lax.map(frame_pressure,

@@ -171,11 +171,13 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
         # (~13x the bytes; tpair epochs ran 28 s dense vs the table's
         # few seconds) while closed-form priors stay dense
         pmode = sys_params.get("pair_mode", "table")
+        pslack = float(sys_params.get("capacity_slack", 1.6))
         if sys_params.get("pair_flag"):
-            nn_int = PairPotentials(system, net, cutoff=cutoff, mode=pmode)
+            nn_int = PairPotentials(system, net, cutoff=cutoff, mode=pmode,
+                                    capacity_slack=pslack)
         elif sys_params.get("tpair_flag"):
             nn_int = TPairPotentials(system, net, T_kelvin, cutoff=cutoff,
-                                     mode=pmode)
+                                     mode=pmode, capacity_slack=pslack)
         else:
             nn_int = GNNPotentials(
                 system, net, cutoff=cutoff,

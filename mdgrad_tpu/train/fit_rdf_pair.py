@@ -324,8 +324,14 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
                     @jax.checkpoint
                     def frame_pressure(qv):
                         q, v = qv
+                        # refresh the neighbor state at THIS frame: the
+                        # epoch-entry aux is up to tau steps stale, and
+                        # in mode='table' a stale (N, K) table drops
+                        # migrated pairs from the virial (dense mode has
+                        # no neighbor state, so this is free there)
+                        fa = stack_model.aux_update(q, aux)
                         return thermo.pressure(
-                            stack_model, p, q, aux, v, masses_j, cell_j,
+                            stack_model, p, q, fa, v, masses_j, cell_j,
                             dim=dim_j)
 
                     p_sim = jax.lax.map(frame_pressure,

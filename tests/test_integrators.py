@@ -116,3 +116,36 @@ def test_rk4_on_harmonic_oscillator():
     for i in range(n):
         state = rk4_step(derivs, state, i * dt, dt)
     assert abs(float(state.q[0]) - np.cos(n * dt)) < 1e-4
+
+
+def test_gnn_topology_update_freq_near_exact(lj_system):
+    """Stale neighbor tables at slack capacity act as a free Verlet skin.
+
+    With capacity_slack the (N, K) table holds beyond-cutoff neighbors
+    (distance-masked at evaluation), so rebuilding every 2-4 steps must
+    reproduce the every-step trajectory to float tolerance over a short
+    window (the amortization bench_step_budget.py measures the speed of).
+    """
+    from mdgrad_tpu.interface import GNNPotentials
+    from mdgrad_tpu.nn import SchNet
+
+    gnn = SchNet({"n_atom_basis": 16, "n_filters": 16, "n_gaussians": 8,
+                  "n_convolutions": 2, "cutoff": 2.4})
+
+    def run(freq):
+        # fresh System per run: simulate() advances the system state
+        sys_ = System.from_lattice("fcc", 3, 1.679)
+        sys_.set_temperature(1.0 / units.kB, rng=np.random.default_rng(42))
+        pot = GNNPotentials(sys_, gnn, cutoff=2.4, capacity_slack=1.5)
+        integ = NoseHooverChain(pot, sys_, T=1.0 / units.kB,
+                                Q=50.0, num_chains=3, adjoint=True,
+                                topology_update_freq=freq)
+        sim = Simulation(sys_, integ)
+        traj = sim.simulate(steps=8, dt=0.005, frequency=8)
+        return np.asarray(traj.q[-1])
+
+    q1 = run(1)
+    q2 = run(2)
+    q4 = run(4)
+    np.testing.assert_allclose(q2, q1, atol=5e-5)
+    np.testing.assert_allclose(q4, q1, atol=5e-5)

@@ -260,3 +260,36 @@ def test_pressure_differentiable_through_trajectory():
     vals = [abs(float(g[k])) for k in g]
     assert all(np.isfinite(v) for v in vals)
     assert sum(vals) > 0
+
+
+def test_pressure_table_mode_needs_fresh_aux():
+    """mode='table' virial parity with dense REQUIRES a per-frame
+    aux_update: the fit drivers evaluate the per-frame pressure on
+    trajectory frames far from the epoch-entry topology build, and a
+    stale (N, K) table drops migrated pairs from the strain derivative
+    (regression for the round-3 fix in fit_rdf_pair.frame_pressure)."""
+    rng = np.random.default_rng(7)
+    sys_ = System.from_lattice("fcc", 2, 1.72)
+    sys_.set_temperature(1.0 / units.kB, rng=rng)
+    lj = potentials.LennardJones(1.0, 1.0)
+    dense = PairPotentials(sys_, lj, cutoff=2.0, mode="dense")
+    table = PairPotentials(sys_, lj, cutoff=2.0, mode="table")
+    q0 = jnp.asarray(sys_.get_positions())
+    aux0 = table.aux_init(q0)
+    # a frame far from the build point: large coherent displacements
+    q1 = jnp.asarray(np.asarray(q0)
+                     + 0.25 * rng.standard_normal(q0.shape))
+    v = jnp.asarray(sys_.get_velocities())
+    cell = sys_.get_cell()
+    m = sys_.get_masses()
+    p = lj.init_params()
+
+    P_dense = float(thermo.pressure(dense, p, q1, (), v, m, cell))
+    P_fresh = float(thermo.pressure(table, p, q1,
+                                    table.aux_update(q1, aux0), v, m,
+                                    cell))
+    P_stale = float(thermo.pressure(table, p, q1, aux0, v, m, cell))
+    np.testing.assert_allclose(P_fresh, P_dense, rtol=1e-4)
+    # the stale-table virial is measurably wrong on this frame --
+    # the property that made the fix necessary
+    assert abs(P_stale - P_dense) > 1e-3 * max(1.0, abs(P_dense))
