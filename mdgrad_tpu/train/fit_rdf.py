@@ -181,6 +181,7 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
         else:
             nn_int = GNNPotentials(
                 system, net, cutoff=cutoff,
+                nbr_mode=sys_params.get("nbr_mode", "table"),
                 capacity_slack=float(sys_params.get("capacity_slack",
                                                     1.6)))
         stack = Stack({"nn": nn_int, "pair": prior_int})

@@ -45,6 +45,13 @@ def main():
     p.add_argument("-capacity_slack", type=float, default=1.6,
                    help="neighbor-table k_max headroom; 1.25 is +19%% "
                         "steps/s, watch for overflow warnings")
+    p.add_argument("-size", type=int, default=4,
+                   help="diamond supercell size (size^3 * 8 sites; "
+                        "4 -> 512, 8 -> 4096)")
+    p.add_argument("-nbr_mode", type=str, default="table",
+                   help="GNN edge builder: 'table' (dense O(N^2) "
+                        "top_k) or 'cells' (O(N) cell list -- the "
+                        ">=4k-atom path, BENCH.md large-N table)")
     args = p.parse_args()
 
     if args.pair or args.tpair:
@@ -68,10 +75,11 @@ def main():
         }
     sys_params = {
         "dt": 0.5, "n_epochs": args.nepochs, "n_sim": args.nsim,
-        "data": args.data, "val": args.val, "size": 4,
+        "data": args.data, "val": args.val, "size": args.size,
         "anneal_flag": "False", "pair_flag": args.pair,
         "tpair_flag": args.tpair, "topology_update_freq": 1,
         "capacity_slack": args.capacity_slack,
+        "nbr_mode": args.nbr_mode,
         "frame_skip": args.frame_skip,
     }
     assignments["rdf_backend"] = args.rdf_backend
