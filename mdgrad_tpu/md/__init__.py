@@ -1,10 +1,11 @@
-from .integrators import (NVE, NoseHooverChain, Langevin, NVEState,
-                          NVTState)
+from .integrators import (NVE, NoseHooverChain, MTSNoseHooverChain,
+                          Langevin, NVEState, NVTState)
 from .simulation import Simulation, Simulations
 from .adjoint import make_odeint
 from .tinydiffeq import odeint
 from .isomerization import Isomerization
 
-__all__ = ["NVE", "NoseHooverChain", "Langevin", "NVEState", "NVTState",
+__all__ = ["NVE", "NoseHooverChain", "MTSNoseHooverChain", "Langevin",
+           "NVEState", "NVTState",
            "Simulation", "Simulations", "make_odeint", "odeint",
            "Isomerization"]

@@ -362,3 +362,107 @@ class NoseHooverChain(_MDIntegrator):
                                f=jnp.zeros_like(state.f),
                                fv=jnp.zeros(()))
         return NVTState(v=dvdt, q=state.v, pv=dpvdt)
+
+
+class MTSNoseHooverChain(NoseHooverChain):
+    """Multiple-time-stepping (impulse / r-RESPA) Nose-Hoover chain.
+
+    Splits a :class:`~mdgrad_tpu.interface.Stack`'s interactions into
+    SLOW (the expensive model -- e.g. the SchNet GNN) and FAST (cheap
+    local priors) and integrates one outer step of size ``dt`` as the
+    Trotter factorization
+
+        e^{(L_bath+L_slow) dt/2} [e^{L_fast dt/k}]^k e^{(L_bath+L_slow) dt/2}
+
+    (XI-RESPA: thermostat and slow impulse at the outer scale, Tuckerman
+    / Berne / Martyna, J. Chem. Phys. 97, 1990 (1992)).  The slow force
+    is evaluated ONCE per outer step (its end-of-step value is cached in
+    ``state.f``, mirroring the single-rate force cache), the fast force
+    ``k + 1`` times at ``dt/k``.  With a slow force that dominates
+    per-step cost, wall-clock per simulated femtosecond approaches a
+    k-fold reduction.
+
+    This is a new capability vs the reference (torchmd/mdgrad has no MTS
+    integrator anywhere); it composes unchanged with the trajectory
+    machinery: one MTS outer step is one scan step, so the replay
+    adjoint, epoch chunking and topology refresh cadence all apply at
+    the outer scale.  The neighbor list stays valid across the inner
+    loop for the same reason stale-table refresh cadences are exact at
+    slack capacity (tests/test_integrators.py update_freq test).
+    """
+
+    def __init__(self, stack, system, T, fast_keys=("pair",), n_inner=2,
+                 **kw):
+        if not hasattr(stack, "models"):
+            raise TypeError("MTSNoseHooverChain needs a Stack (the "
+                            "slow/fast split is by stack key)")
+        if kw.get("force_cache") is False:
+            raise ValueError("MTSNoseHooverChain requires force_cache")
+        super().__init__(stack, system, T, **kw)
+        self.fast_keys = tuple(fast_keys)
+        self.slow_keys = tuple(k for k in stack.models
+                               if k not in self.fast_keys)
+        missing = [k for k in self.fast_keys if k not in stack.models]
+        if missing or not self.slow_keys:
+            raise ValueError(f"bad fast_keys {fast_keys} for stack keys "
+                             f"{list(stack.models)}")
+        self.n_inner = int(n_inner)
+
+    def _keys_energy(self, keys, params, q, aux):
+        total = 0.0
+        for k in keys:
+            total = total + self.model.models[k].energy(params[k], q,
+                                                        aux[k])
+        return total
+
+    def _keys_force(self, keys, params, q, aux):
+        return -jax.grad(
+            lambda q_: self._keys_energy(keys, params, q_, aux))(q)
+
+    def prime_state(self, params, state, aux, fresh_aux=False):
+        """The cache holds the SLOW force only (the fast force is
+        re-evaluated inside the inner loop every outer step)."""
+        if not hasattr(state, "fv"):
+            return state, aux
+        if not fresh_aux:
+            aux = self.model.aux_update(state.q, aux)
+        f = self._keys_force(self.slow_keys, params, state.q, aux)
+        return state._replace(f=f, fv=jnp.ones(())), aux
+
+    def step(self, params, state, aux, ctrl, t, dt, method=None,
+             primed=False):
+        if not hasattr(state, "fv"):
+            raise ValueError("MTS stepper needs the cached (*F) state "
+                             "from initial_state()")
+        if primed:
+            fs0 = state.f
+        else:
+            fs0 = jax.lax.cond(
+                state.fv > 0, lambda: state.f,
+                lambda: self._keys_force(self.slow_keys, params, state.q,
+                                         aux))
+        # outer half: slow impulse + chain coupling on v, bath half-kick
+        dv0, dbath0 = self._bath_derivs(state, ctrl, fs0)
+        v = state.v + 0.5 * dt * dv0
+        pv = state.pv + 0.5 * dt * dbath0
+        # inner loop: n_inner velocity-Verlet NVE steps on the fast force
+        dti = dt / self.n_inner
+        m = self.masses
+
+        def inner(carry, _):
+            q_c, v_c, ff_c = carry
+            v1 = v_c + 0.5 * dti * ff_c / m
+            q1 = q_c + dti * v1
+            ff1 = self._keys_force(self.fast_keys, params, q1, aux)
+            return (q1, v1 + 0.5 * dti * ff1 / m, ff1), None
+
+        ff = self._keys_force(self.fast_keys, params, state.q, aux)
+        (q, v, ff), _ = jax.lax.scan(inner, (state.q, v, ff), None,
+                                     length=self.n_inner)
+        # closing half: fresh slow force at the new positions
+        fs1 = self._keys_force(self.slow_keys, params, q, aux)
+        mid = state._replace(v=v, q=q, pv=pv)
+        dv1, dbath1 = self._bath_derivs(mid, ctrl, fs1)
+        return NVTStateF(v=v + 0.5 * dt * dv1, q=q,
+                         pv=pv + 0.5 * dt * dbath1, f=fs1,
+                         fv=jnp.ones(()))

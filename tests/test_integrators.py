@@ -149,3 +149,81 @@ def test_gnn_topology_update_freq_near_exact(lj_system):
     q4 = run(4)
     np.testing.assert_allclose(q2, q1, atol=5e-5)
     np.testing.assert_allclose(q4, q1, atol=5e-5)
+
+
+class TestMTS:
+    """Multiple-time-stepping (r-RESPA) Nose-Hoover chain."""
+
+    def _build(self, n_inner, dt_scale=1.0):
+        from mdgrad_tpu.md import MTSNoseHooverChain
+        sys_ = System.from_lattice("fcc", 3, 1.679)
+        sys_.set_temperature(1.0 / units.kB, rng=np.random.default_rng(3))
+        stack = Stack({
+            "lj": PairPotentials(sys_, potentials.LennardJones(1.0, 1.0),
+                                 cutoff=2.5, mode="dense"),
+            "pair": PairPotentials(sys_, potentials.ExcludedVolume(
+                sigma=0.9, epsilon=0.05, power=12), cutoff=2.5,
+                mode="dense"),
+        })
+        integ = MTSNoseHooverChain(stack, sys_, T=1.0 / units.kB,
+                                   fast_keys=("pair",), n_inner=n_inner,
+                                   Q=50.0, num_chains=3)
+        return sys_, stack, integ
+
+    def test_converges_to_single_rate(self):
+        """At the same outer dt the k=2 RESPA trajectory tracks the
+        single-rate NHC trajectory with an O(dt^2)-splitting deviation
+        that shrinks as dt does."""
+        from mdgrad_tpu.md import Simulation
+
+        def final_q(n_inner, dt, steps, single_rate=False):
+            sys_, stack, integ = self._build(n_inner)
+            if single_rate:
+                integ = NoseHooverChain(stack, sys_, T=1.0 / units.kB,
+                                        Q=50.0, num_chains=3)
+            sim = Simulation(sys_, integ)
+            traj = sim.simulate(steps=steps, dt=dt, frequency=steps)
+            return np.asarray(traj.q[-1])
+
+        err_big = np.abs(final_q(2, 0.004, 16)
+                         - final_q(1, 0.004, 16, single_rate=True)).max()
+        err_small = np.abs(final_q(2, 0.001, 16)
+                           - final_q(1, 0.001, 16, single_rate=True)).max()
+        # both sit at the f32 noise floor for this stack (the splitting
+        # error is below roundoff): assert closeness, not ordering
+        assert err_big < 5e-4, err_big
+        assert err_small < 5e-4, (err_big, err_small)
+
+    def test_temperature_control(self):
+        from mdgrad_tpu.md import Simulation
+        sys_, stack, integ = self._build(4)
+        sim = Simulation(sys_, integ)
+        for _ in range(6):  # equilibrate (same protocol as the NHC test)
+            traj = sim.simulate(steps=100, dt=0.005, frequency=10)
+        temps = [float(thermo.temperature(traj.v[i],
+                                          sys_.get_masses(), dim=3))
+                 for i in range(traj.v.shape[0])]
+        mean_T = np.mean(temps[3:])
+        assert abs(mean_T - 1.0) < 0.25, temps
+
+    def test_adjoint_gradients_flow(self):
+        import jax
+        from mdgrad_tpu.md import Simulation
+        from mdgrad_tpu import observables
+
+        sys_, stack, integ = self._build(2)
+        sim = Simulation(sys_, integ)
+        obs = observables.rdf(sys_, nbins=50, r_range=(0.75, 2.5))
+        ode = sim.epoch_fn(dt=0.005, frequency=10)
+        state, aux = sim.initial_state()
+
+        def loss(p):
+            traj, _ = ode(p, state, aux, integ.default_ctrl())
+            return ((obs(traj.q[::2])[2] - 1.0) ** 2).mean()
+
+        g = jax.grad(loss)(sim.params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # gradients reach BOTH the slow and the fast model's params
+        assert float(np.abs(np.asarray(g["lj"]["epsilon"]))) > 0
+        assert float(np.abs(np.asarray(g["pair"]["epsilon"]))) > 0
