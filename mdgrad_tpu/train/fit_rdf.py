@@ -33,7 +33,7 @@ from ..system import System
 from ..lattice import ATOMS_PER_UNITCELL
 from ..interface import (PairPotentials, TPairPotentials, GNNPotentials,
                          Stack)
-from ..md import NoseHooverChain, Simulation
+from ..md import NoseHooverChain, MTSNoseHooverChain, Simulation
 from ..observables import rdf as rdf_obs
 from ..nn import SchNet, PairMLP, TPairMLP
 from ..data import exp_rdf_data_dict, get_exp_rdf, get_unit_len
@@ -185,9 +185,24 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
                 capacity_slack=float(sys_params.get("capacity_slack",
                                                     1.6)))
         stack = Stack({"nn": nn_int, "pair": prior_int})
-        integ = NoseHooverChain(
-            stack, system, T=T_kelvin, Q=50.0, num_chains=5, adjoint=True,
-            topology_update_freq=sys_params.get("topology_update_freq", 1))
+        mts_k = int(sys_params.get("mts_inner", 0) or 0)
+        if mts_k > 1 and not (sys_params.get("pair_flag")
+                              or sys_params.get("tpair_flag")):
+            # r-RESPA: GNN force at the outer step, prior at dt/k inner
+            # steps (md/integrators.MTSNoseHooverChain); callers scale
+            # dt/opt_freq so the INNER step and the simulated window
+            # match the single-rate config (fit_rdf does this)
+            integ = MTSNoseHooverChain(
+                stack, system, T=T_kelvin, Q=50.0, num_chains=5,
+                adjoint=True, fast_keys=("pair",), n_inner=mts_k,
+                topology_update_freq=sys_params.get(
+                    "topology_update_freq", 1))
+        else:
+            integ = NoseHooverChain(
+                stack, system, T=T_kelvin, Q=50.0, num_chains=5,
+                adjoint=True,
+                topology_update_freq=sys_params.get(
+                    "topology_update_freq", 1))
         sim = Simulation(system, integ)
         if params is None:
             params = sim.params
@@ -258,6 +273,13 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     tau = assignments["opt_freq"]
     nbins = assignments["nbins"]
     frame_skip = sys_params.get("frame_skip", 20)
+    # MTS: keep the INNER resolution and simulated window of the
+    # single-rate config -- outer dt = dt * k, outer steps = tau / k
+    mts_k = int(sys_params.get("mts_inner", 0) or 0)
+    dt_mult = mts_k if mts_k > 1 else 1
+    if dt_mult > 1:
+        tau = max(2, tau // dt_mult)
+        frame_skip = max(1, frame_skip // dt_mult)
 
     comps = build_fit(assignments, sys_params, registry, rng=rng)
     sims, observers, targets = (comps["sims"], comps["observers"],
@@ -331,8 +353,9 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
 
     def _dt_for(tag):
         # (the reference's fit_rdf actually ignores its dt and integrates
-        # at the 1 fs default, md.py:73)
-        return sys_params["dt"] * _dt_scale(registry[tag])
+        # at the 1 fs default, md.py:73); dt_mult > 1 = the MTS OUTER
+        # step (sys_params dt stays the inner/base step)
+        return sys_params["dt"] * _dt_scale(registry[tag]) * dt_mult
 
     # optional angle-distribution target (reference angle_data_dict,
     # scripts/data.py:1007; loss wiring is new -- the reference loads the

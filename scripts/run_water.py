@@ -48,6 +48,11 @@ def main():
     p.add_argument("-size", type=int, default=4,
                    help="diamond supercell size (size^3 * 8 sites; "
                         "4 -> 512, 8 -> 4096)")
+    p.add_argument("-mts", type=int, default=0,
+                   help="r-RESPA inner steps per outer step (0/1 = "
+                        "single-rate): the SchNet force is evaluated "
+                        "once per OUTER step (dt*k), the prior every "
+                        "dt -- same simulated window per epoch")
     p.add_argument("-nbr_mode", type=str, default="table",
                    help="GNN edge builder: 'table' (dense O(N^2) "
                         "top_k) or 'cells' (O(N) cell list -- the "
@@ -80,6 +85,7 @@ def main():
         "tpair_flag": args.tpair, "topology_update_freq": 1,
         "capacity_slack": args.capacity_slack,
         "nbr_mode": args.nbr_mode,
+        "mts_inner": args.mts,
         "frame_skip": args.frame_skip,
     }
     assignments["rdf_backend"] = args.rdf_backend
