@@ -488,7 +488,11 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
             else:
                 log(f"inference rollout diverged for {tag}; frame skipped")
                 sim.state, sim.aux = md_states[j]  # restart from last good
-        x, g_obs, obs = get_observer(systems[j], tag, test_nbins, registry)
+        # same backend as training: the fused-XLA observer materializes
+        # (pairs, nbins) and compile-OOMs at 4k atoms x 800 bins (50 GB)
+        x, g_obs, obs = get_observer(
+            systems[j], tag, test_nbins, registry,
+            backend=assignments.get("rdf_backend", "xla"))
         g_sim = np.mean([np.asarray(obs(jnp.asarray(f))[2])
                          for f in frames], axis=0)
         mse = float(((np.asarray(g_obs) - g_sim) ** 2).mean())
