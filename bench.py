@@ -135,6 +135,43 @@ def main():
     except Exception as e:  # pragma: no cover - cost model optional
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
+    # secondary: MTS (r-RESPA) k=2 -- the validated fast training config
+    # (results/water_mts_r3: 800-bin MSE 0.0040); GNN at 1.0 fs outer
+    # steps, prior at 0.5 fs inner.  Reported as dt=0.5fs-equivalent
+    # steps/s (= simulated fs/s / 0.5) on the same 26-fs epoch.
+    mts_equiv = None
+    try:
+        from mdgrad_tpu.md import MTSNoseHooverChain
+        system2, sim2, integ2, obs2 = build()
+        integ_mts = MTSNoseHooverChain(
+            integ2.model, system2, T=298.0, Q=50.0, num_chains=5,
+            adjoint=True, fast_keys=("prior",), n_inner=2)
+        from mdgrad_tpu.md import Simulation as _Sim
+        sim_mts = _Sim(system2, integ_mts)
+        tau2 = tau // 2
+        ode2 = sim_mts.epoch_fn(2 * dt, tau2)
+        state2, aux2 = sim_mts.initial_state()
+        ctrl2 = integ_mts.default_ctrl()
+
+        def loss_fn2(params):
+            traj, _ = ode2(params, state2, aux2, ctrl2)
+            _, _, g = obs2(traj.q[::5])
+            return ((g - g_target) ** 2).mean()
+
+        vg2 = jax.jit(jax.value_and_grad(loss_fn2))
+        l2, _ = vg2(sim_mts.params)
+        jax.block_until_ready(l2)
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            l2, _ = vg2(sim_mts.params)
+        jax.block_until_ready(l2)
+        el2 = (time.perf_counter() - t0) / n_rep
+        mts_equiv = (tau2 - 1) * 2 / el2  # dt=0.5fs-equivalent steps/s
+        print(f"# MTS k=2: {(tau2-1)*1.0/el2:.1f} fs/s -> "
+              f"{mts_equiv:.1f} equiv steps/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# MTS secondary bench skipped: {e}", file=sys.stderr)
+
     base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_torch.json")
     vs_cpu = None
@@ -157,6 +194,8 @@ def main():
         "vs_cpu_thread": round(vs_cpu, 1) if vs_cpu else None,
         "tflops": round(tflops, 2) if tflops else None,
         "mfu_pct": round(mfu, 2) if mfu else None,
+        "mts2_equiv_steps_per_sec": (round(mts_equiv, 1)
+                                     if mts_equiv else None),
     }))
 
 
