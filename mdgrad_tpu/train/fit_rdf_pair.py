@@ -417,13 +417,16 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             if tag in train_list:
                 total += float(loss)
                 grads_acc = tree_add(grads_acc, grads)
+        # best-model bookkeeping BEFORE the update: the logged loss was
+        # computed with the current params, so best.pkl must store these
+        # params, not the post-update ones (off-by-one fixed round 3)
+        ckpt.save_best(epoch, total, params)
         params, opt_state = apply_update(grads_acc, opt_state, params,
                                          jnp.asarray(total))
         for sim in sims:
             sim.params = params
         loss_log.append(total)
         log(f"epoch {epoch} | loss: {total:.6f}")
-        ckpt.save_best(epoch, total, params)
         ckpt.maybe_save(epoch, params, opt_state, md_states,
                         {"loss_log": loss_log, "obs_log": obs_log})
 
