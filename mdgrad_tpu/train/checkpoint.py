@@ -73,14 +73,16 @@ class FitCheckpointer:
         for old in self._files()[:-self.keep]:
             os.remove(old)
 
-    def save_best(self, epoch, loss, params):
-        """Persist ``best.pkl`` whenever ``loss`` beats the stored best
+    def save_best(self, epoch, loss, params, fname="best.pkl"):
+        """Persist ``fname`` whenever ``loss`` beats the stored best
         (trajectory fits oscillate around their noise floor -- the final
         epoch is rarely the best one; mirrors the supervised Trainer's
-        best-model file, train/supervised.py)."""
+        best-model file, train/supervised.py).  Drivers with an
+        equilibrated evaluation pass ``fname='best_eval.pkl'`` so the
+        drift-free selection lives alongside the train-loss one."""
         if not self.path:
             return
-        best_path = os.path.join(self.path, "best.pkl")
+        best_path = os.path.join(self.path, fname)
         prev = None
         if os.path.exists(best_path):
             with open(best_path, "rb") as f:

@@ -270,6 +270,7 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
 
     # one jitted loss+grad per state point
     vgs, md_states = [], []
+    use_vacf_list, use_press_list = [], []
     for j, tag in enumerate(all_sys):
         sim = sims[j]
         entry = registry[tag]
@@ -344,6 +345,8 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
             return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
         vgs.append(make())
         md_states.append(sim.initial_state())
+        use_vacf_list.append(use_vacf)
+        use_press_list.append(use_press)
 
     # equilibration burn-in: run the MD forward (no parameter updates)
     # until every state point sits in the pretrained potential's own
@@ -373,6 +376,57 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
     # post-burn-in snapshots every K epochs keeps sampling on the same
     # metastable branch the targets were generated from.
     reset_every = int(sys_params.get("state_reset_every", 0))
+
+    # --- equilibrated evaluation for best-model selection ------------
+    # The per-epoch training loss conflates potential quality with MD
+    # state drift: after burn-in the states keep relaxing toward the
+    # current potential's own equilibrium, so the loss is lowest at the
+    # least-equilibrated (most target-like) EARLY epochs, and selecting
+    # the best epoch by train loss systematically picks them (the
+    # state_reset sawtooth in results/lj_multi_r3b/loss.txt is the
+    # drift made visible).  With eval_every > 0, every K epochs the MD
+    # states are branched, run eval_eq_epochs with frozen params, and
+    # the observables are then AVERAGED over eval_sample_epochs before
+    # scoring against the targets -- a low-noise estimate of the
+    # current potential's equilibrium error (the
+    # scripts/validate_lj_best.py protocol, in-loop).  best_eval.pkl
+    # tracks the winner of THIS metric.
+    eval_every = int(sys_params.get("eval_every", 0))
+    eval_eq = int(sys_params.get("eval_eq_epochs", 4))
+    eval_samp = int(sys_params.get("eval_sample_epochs", 8))
+    rdf_w_g = assignments.get("rdf_weight", 1.0)
+    vacf_w_g = assignments.get("vacf_weight", 0.0)
+    press_w_g = float(assignments.get("pressure_weight", 0.0))
+
+    def equilibrated_eval(params):
+        total, detail = 0.0, {}
+        for j, tag in enumerate(all_sys):
+            _, g_t, _, vacf_t, _, p_t = observers[j]
+            state, aux = md_states[j]  # branch: training states untouched
+            ctrl = sims[j].integrator.default_ctrl()
+            gs, vls, pls = [], [], []
+            for i in range(eval_eq + eval_samp):
+                (_, (g, vacf_sim, p_sim, last, aux)), _ = vgs[j](
+                    params, state, aux, ctrl)
+                state = jax.lax.stop_gradient(last)
+                if i >= eval_eq:
+                    gs.append(np.asarray(g))
+                    vls.append(np.asarray(vacf_sim))
+                    pls.append(float(p_sim))
+            loss = rdf_w_g * float(
+                ((np.mean(gs, axis=0) - np.asarray(g_t)) ** 2).mean())
+            if use_vacf_list[j]:
+                loss += vacf_w_g * float(
+                    ((np.mean(vls, axis=0)
+                      - np.asarray(vacf_t)[:t_range]) ** 2).mean())
+            if use_press_list[j]:
+                loss += press_w_g * float((np.mean(pls) - p_t) ** 2)
+            detail[tag] = loss
+            if tag in train_list:
+                total += loss
+        return total, detail
+
+    eval_log = []
 
     loss_log, obs_log = [], {t: {"rdf": [], "vacf": []} for t in all_sys}
     start_epoch = 0
@@ -421,6 +475,13 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         # computed with the current params, so best.pkl must store these
         # params, not the post-update ones (off-by-one fixed round 3)
         ckpt.save_best(epoch, total, params)
+        if eval_every and ((epoch - start_epoch) % eval_every == 0
+                           or epoch == n_epochs - 1):
+            e_loss, e_detail = equilibrated_eval(params)
+            eval_log.append({"epoch": epoch, "loss": e_loss,
+                             "detail": e_detail})
+            log(f"epoch {epoch} | eval(eq) loss: {e_loss:.6f}")
+            ckpt.save_best(epoch, e_loss, params, fname="best_eval.pkl")
         params, opt_state = apply_update(grads_acc, opt_state, params,
                                          jnp.asarray(total))
         for sim in sims:
@@ -446,25 +507,35 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         u_target = u_t - u_t[-1]
 
     # best-epoch potential (trajectory fits oscillate around their noise
-    # floor; best.pkl tracks the lowest-loss epoch)
-    u_best, best_info = None, None
-    if model_path and os.path.exists(os.path.join(model_path, "best.pkl")):
+    # floor; best.pkl tracks the lowest-loss epoch).  When the
+    # equilibrated eval ran, best_eval.pkl is the drift-free selection.
+    def _load_best(fname):
+        if not model_path or not os.path.exists(
+                os.path.join(model_path, fname)):
+            return None, None
         import pickle
-        with open(os.path.join(model_path, "best.pkl"), "rb") as f:
-            best_info = pickle.load(f)
-        bp = jax.device_put(best_info["params"])
-        u_best = (np.asarray(net(bp["pairnn"],
-                                 jnp.asarray(r_grid)[:, None])).squeeze(-1)
-                  + np.asarray(prior(bp["pair"],
-                                     jnp.asarray(r_grid)[:, None]))
-                  .squeeze(-1))
-        u_best = u_best - u_best[-1]
+        with open(os.path.join(model_path, fname), "rb") as f:
+            info = pickle.load(f)
+        bp = jax.device_put(info["params"])
+        u = (np.asarray(net(bp["pairnn"],
+                            jnp.asarray(r_grid)[:, None])).squeeze(-1)
+             + np.asarray(prior(bp["pair"],
+                                jnp.asarray(r_grid)[:, None])).squeeze(-1))
+        return u - u[-1], info
+
+    u_best, best_info = _load_best("best.pkl")
+    u_best_eval, best_eval_info = _load_best("best_eval.pkl")
 
     results = {"loss_log": loss_log, "obs_log": obs_log, "params": params,
                "r_grid": r_grid, "u_fit": u_fit, "u_target": u_target,
-               "u_best": u_best,
+               "u_best": u_best, "u_best_eval": u_best_eval,
                "best_epoch": best_info["epoch"] if best_info else None,
                "best_loss": best_info["loss"] if best_info else None,
+               "best_eval_epoch": (best_eval_info["epoch"]
+                                   if best_eval_info else None),
+               "best_eval_loss": (best_eval_info["loss"]
+                                  if best_eval_info else None),
+               "eval_log": eval_log,
                "objective": loss_log[-1] if loss_log else float("nan")}
     if model_path:
         np.savetxt(os.path.join(model_path, "loss.txt"),
@@ -474,9 +545,19 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         if u_best is not None:
             np.savetxt(os.path.join(model_path, "potential_best.txt"),
                        np.vstack([r_grid, u_best]))
+        if eval_log:
+            with open(os.path.join(model_path, "eval_log.json"), "w") as f:
+                json.dump(eval_log, f, indent=2)
+        if u_best_eval is not None:
+            np.savetxt(os.path.join(model_path,
+                                    "potential_best_eval.txt"),
+                       np.vstack([r_grid, u_best_eval]))
         from .plots import plot_pair, plot_loss
         plot_pair(r_grid, u_fit, u_target, "final", model_path)
         if u_best is not None:
             plot_pair(r_grid, u_best, u_target, "best", model_path)
+        if u_best_eval is not None:
+            plot_pair(r_grid, u_best_eval, u_target, "best_eval",
+                      model_path)
         plot_loss(loss_log, model_path)
     return results

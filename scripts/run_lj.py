@@ -50,6 +50,15 @@ def main():
                         "epochs (keeps sub-critical low-density states "
                         "on the metastable uniform branch their targets "
                         "sampled; see fit_rdf_pair.fit_lj)")
+    p.add_argument("-eval_every", type=int, default=0,
+                   help="equilibrated-eval cadence for best-model "
+                        "selection: every K epochs, freeze params, run "
+                        "eval_eq_epochs then average observables over "
+                        "eval_sample_epochs and score those (the "
+                        "per-epoch train loss is biased by MD state "
+                        "drift; see fit_rdf_pair.fit_lj)")
+    p.add_argument("-eval_eq_epochs", type=int, default=4)
+    p.add_argument("-eval_sample_epochs", type=int, default=8)
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
@@ -68,6 +77,9 @@ def main():
         "pretrain_iters": args.pretrain, "burnin_epochs": args.burnin,
         "frame_skip": args.frame_skip,
         "state_reset_every": args.state_reset_every,
+        "eval_every": args.eval_every,
+        "eval_eq_epochs": args.eval_eq_epochs,
+        "eval_sample_epochs": args.eval_sample_epochs,
     }
     if args.dry_run:
         assignments["opt_freq"] = 21

@@ -418,3 +418,44 @@ def test_fit_lj_pressure_target():
     assert len(out["loss_log"]) == 2
     ps = out["obs_log"]["ljp"]["pressure"]
     assert len(ps) == 2 and all(np.isfinite(p) for p in ps)
+
+
+def test_fit_lj_equilibrated_eval(tmp_path):
+    """eval_every > 0: every K epochs params are frozen, states branched,
+    and observables averaged over eval_sample_epochs before scoring --
+    best_eval.pkl tracks this drift-free metric (the per-epoch train loss
+    is biased by MD state drift toward unequilibrated early epochs)."""
+    import pickle
+    from mdgrad_tpu.train.fit_rdf_pair import fit_lj
+    registry = {"lje": {"rho": 0.845, "T": 1.2, "start": 0.75, "end": 2.5,
+                        "element": "H", "mass": 1.0, "N_unitcell": 4,
+                        "cell": "fcc", "reduced_units": True, "dt": 0.01,
+                        "target_pot": ("LennardJones", {})}}
+    mp = str(tmp_path / "run")
+    logs = []
+    out = fit_lj(
+        {"nbins": 40, "opt_freq": 16, "lr": 3e-3, "sigma": 0.9,
+         "gaussian_width": 0.1, "n_width": 24, "n_layers": 1,
+         "nonlinear": "SELU", "rdf_weight": 1.0, "vacf_weight": 0.0,
+         "train_vacf": "False", "pressure_weight": 1e-3},
+        {"size": 2, "cutoff": 2.5, "t_range": 10, "n_epochs": 4,
+         "n_sim": 1, "data": ["lje"], "val": None, "target_nsim": 4,
+         "frame_skip": 4, "eval_every": 2, "eval_eq_epochs": 1,
+         "eval_sample_epochs": 2},
+        registry=registry, rng=np.random.default_rng(2),
+        log=logs.append, model_path=mp)
+    assert not out.get("nan_bailout", False)
+    # evals at epochs 0, 2 and the final epoch 3
+    assert [e["epoch"] for e in out["eval_log"]] == [0, 2, 3]
+    assert all(np.isfinite(e["loss"]) for e in out["eval_log"])
+    assert all("lje" in e["detail"] for e in out["eval_log"])
+    assert any("eval(eq)" in str(m) for m in logs)
+    # best_eval.pkl stores the params of the argmin eval epoch
+    with open(os.path.join(mp, "best_eval.pkl"), "rb") as f:
+        be = pickle.load(f)
+    emin = min(out["eval_log"], key=lambda e: e["loss"])
+    assert be["epoch"] == emin["epoch"]
+    assert np.isclose(be["loss"], emin["loss"])
+    assert out["best_eval_epoch"] == emin["epoch"]
+    assert out["u_best_eval"] is not None
+    assert np.isfinite(out["u_best_eval"]).all()
