@@ -191,7 +191,12 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
         stack = Stack({
             "pairnn": PairPotentials(
                 system, net, cutoff=cutoff,
-                mode=sys_params.get("pair_mode", "table")),
+                mode=sys_params.get("pair_mode", "table"),
+                # low-density (gas-branch) states see large local density
+                # fluctuations: lj rho=0.3 overflowed the default-1.6
+                # table mid-fit (results/r3_logs/lj_pressure3.log)
+                capacity_slack=float(sys_params.get("capacity_slack",
+                                                    1.6))),
             "pair": PairPotentials(system, prior, cutoff=2.5),
         })
         integ = NoseHooverChain(

@@ -50,6 +50,10 @@ def main():
                         "epochs (keeps sub-critical low-density states "
                         "on the metastable uniform branch their targets "
                         "sampled; see fit_rdf_pair.fit_lj)")
+    p.add_argument("-capacity_slack", type=float, default=1.6,
+                   help="pair-table capacity headroom; low-density "
+                        "states need >=2.5 (density fluctuations "
+                        "overflow the 1.6 default)")
     p.add_argument("-eval_every", type=int, default=0,
                    help="equilibrated-eval cadence for best-model "
                         "selection: every K epochs, freeze params, run "
@@ -80,6 +84,7 @@ def main():
         "eval_every": args.eval_every,
         "eval_eq_epochs": args.eval_eq_epochs,
         "eval_sample_epochs": args.eval_sample_epochs,
+        "capacity_slack": args.capacity_slack,
     }
     if args.dry_run:
         assignments["opt_freq"] = 21

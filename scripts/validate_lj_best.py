@@ -72,7 +72,7 @@ def evaluate(params, label):
         system = get_system(tag, 5, pair_data_dict, rng=rng)
         stack = Stack({
             "pairnn": PairPotentials(system, net, cutoff=CUTOFF,
-                                     mode="table"),
+                                     mode="table", capacity_slack=2.5),
             "pair": PairPotentials(system, prior, cutoff=CUTOFF),
         })
         integ = NoseHooverChain(stack, system,
