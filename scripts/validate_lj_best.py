@@ -121,25 +121,36 @@ def evaluate(params, label):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-run", default="results/lj_multi_r3/0",
+                    help="fit output dir holding the candidate pkls")
+    ap.add_argument("-candidates", nargs="+",
+                    default=["best.pkl", "pretrain"],
+                    help="pkl filenames under -run, or the literal "
+                         "'pretrain' for the lr=0 BI control")
+    args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
-    with open("results/lj_multi_r3/0/best.pkl", "rb") as f:
-        best = pickle.load(f)
-    print(f"candidate A: best.pkl (epoch {best['epoch']}, "
-          f"train loss {best['loss']:.4f})", flush=True)
-    print("candidate B: raw BI pretrain (lr=0 control)", flush=True)
-    pre = get_pretrain_params()
 
-    res_a = evaluate(best["params"], "best.pkl")
-    res_b = evaluate(pre, "pretrain")
-    out = {"best_pkl": res_a, "pretrain": res_b}
-    with open("results/lj_multi_r3/validation.json", "w") as f:
+    out, scores = {}, {}
+    for cand in args.candidates:
+        if cand == "pretrain":
+            print("candidate: raw BI pretrain (lr=0 control)", flush=True)
+            params = get_pretrain_params()
+        else:
+            with open(os.path.join(args.run, cand), "rb") as f:
+                blob = pickle.load(f)
+            print(f"candidate: {cand} (epoch {blob['epoch']}, "
+                  f"selection loss {blob['loss']:.4f})", flush=True)
+            params = blob["params"]
+        res = evaluate(params, cand)
+        out[cand] = res
+        scores[cand] = res["total_rdf_mse"] + 0.05 * res["total_P_err"]
+    with open(os.path.join(args.run, "..", "validation.json"), "w") as f:
         json.dump(out, f, indent=2)
-    a_score = res_a["total_rdf_mse"] + 0.05 * res_a["total_P_err"]
-    b_score = res_b["total_rdf_mse"] + 0.05 * res_b["total_P_err"]
-    print(f"combined (rdf + 0.05*|dP|): best.pkl {a_score:.5f} vs "
-          f"pretrain {b_score:.5f} -> winner: "
-          f"{'best.pkl' if a_score <= b_score else 'pretrain'}",
-          flush=True)
+    for cand, s in sorted(scores.items(), key=lambda kv: kv[1]):
+        print(f"combined (rdf + 0.05*|dP|): {cand} = {s:.5f}", flush=True)
+    print("winner:", min(scores, key=scores.get), flush=True)
 
 
 if __name__ == "__main__":
