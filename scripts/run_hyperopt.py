@@ -69,6 +69,7 @@ def main():
     p.add_argument("-data", type=str, nargs="+",
                    default=["H20_298K_redd"])
     p.add_argument("-n_trials", type=int, default=20)
+    p.add_argument("-nepochs", type=int, default=200)
     p.add_argument("--pair", action="store_true")
     p.add_argument("--dry_run", action="store_true")
     p.add_argument("-dt", type=float, default=0.5)
@@ -88,7 +89,7 @@ def main():
     for trial in range(args.n_trials):
         assignments = sample(space, rng)
         sys_params = {
-            "dt": args.dt, "n_epochs": 2 if args.dry_run else 200,
+            "dt": args.dt, "n_epochs": 2 if args.dry_run else args.nepochs,
             "n_sim": 1 if args.dry_run else 10,
             "data": args.data, "val": None,
             "size": 2 if args.dry_run else 4,

@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Supervised force-matching pre-training workload (the reference's nff
+path: train SchNet on energy/force labels, then USE it as an MD
+potential).
+
+Parity target: the reference ships the full supervised stack for exactly
+this -- /root/reference/nff/train/trainer.py (Trainer),
+nff/train/builders/trainer.py:13-68 (optimizer+hooks assembly),
+nff/train/evaluate.py:7 -- but no runnable workload: its data tests
+depend on missing fixtures (nff/data/test.py:11 wants
+tutorials/data/dataset.pth.tar) and its ASE-MD consumer imports the
+absent nff.io module (nff/md/nve.py:14).  This driver closes the loop at
+workload scale, TPU-native:
+
+1. **Label generation**: NHC trajectory of the ground-truth LJ fluid
+   (pair registry entry), frames -> (nxyz, energy, energy_grad) with
+   PBC minimum-image neighbor lists + real-space offsets.
+2. **Supervised training**: Dataset -> padded DataLoader (one XLA
+   program for every batch) -> Trainer with the standard hook set
+   (early stopping, plateau LR, CSV log, rotating checkpoints).
+3. **Validation-by-use**: the trained SchNet alone (no prior, no RDF
+   fitting) drives MD via GNNPotentials at the same state point; its
+   RDF is scored against the ground-truth potential's RDF.
+
+Force-matching (step 2) trains on per-frame snapshots only; the
+validation RDF tests whether those local gradients assemble into the
+right *equilibrium structure* -- the question the reference's
+trajectory-fitting path exists to answer when force labels are NOT
+available.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_label_fn(pot_int, tp):
+    import jax
+
+    def total_u(q):
+        return pot_int.energy(tp, q, pot_int.aux_init(q))
+
+    return jax.jit(jax.value_and_grad(total_u))
+
+
+def pbc_pairs(xyz, cell_len, cutoff):
+    """Min-image pair list for a diagonal cell: (P,2) int32 indices and
+    (P,3) real-space offsets such that edge = xyz[i]-xyz[j]-offset."""
+    disp = xyz[:, None] - xyz[None, :]
+    shift = np.round(disp / cell_len)
+    off = shift * cell_len
+    dis = np.linalg.norm(disp - off, axis=-1)
+    n = len(xyz)
+    iu = np.triu(np.ones((n, n), dtype=bool), k=1)
+    i, j = np.nonzero(iu & (dis < cutoff))
+    return (np.stack([i, j], axis=-1).astype(np.int32),
+            off[i, j].astype(np.float32))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-logdir", type=str, default="outputs/supervised")
+    p.add_argument("-data", type=str, default="lj_0.845_1.2")
+    p.add_argument("-size", type=int, default=3)
+    p.add_argument("-cutoff", type=float, default=2.5)
+    p.add_argument("-dt", type=float, default=0.005)
+    p.add_argument("-burnin", type=int, default=20,
+                   help="equilibration epochs (discarded)")
+    p.add_argument("-n_frames", type=int, default=400)
+    p.add_argument("-frame_stride", type=int, default=20,
+                   help="MD steps between kept frames (decorrelation)")
+    p.add_argument("-batch_size", type=int, default=16)
+    p.add_argument("-lr", type=float, default=1e-3)
+    p.add_argument("-max_epochs", type=int, default=150)
+    p.add_argument("-patience", type=int, default=30)
+    p.add_argument("-n_atom_basis", type=int, default=64)
+    p.add_argument("-n_filters", type=int, default=64)
+    p.add_argument("-n_convolutions", type=int, default=2)
+    p.add_argument("-val_sim", type=int, default=12,
+                   help="validation MD epochs (120 steps each)")
+    p.add_argument("--dry_run", action="store_true")
+    args = p.parse_args()
+    if args.dry_run:
+        args.n_frames, args.burnin, args.max_epochs = 24, 2, 4
+        args.val_sim, args.frame_stride = 4, 5
+
+    import jax.numpy as jnp
+
+    from mdgrad_tpu.data.dataset import (Dataset,
+                                         split_train_validation_test)
+    from mdgrad_tpu.data.loader import DataLoader
+    from mdgrad_tpu.data import pair_data_dict
+    from mdgrad_tpu.interface import PairPotentials, GNNPotentials
+    from mdgrad_tpu.md import NoseHooverChain, Simulation
+    from mdgrad_tpu.observables import rdf as rdf_obs
+    from mdgrad_tpu.train.builders import (get_model, get_trainer,
+                                           save_model)
+    from mdgrad_tpu.train.fit_rdf import get_system, registry_T_kelvin
+    from mdgrad_tpu.train.fit_rdf_pair import resolve_target_pot
+    from mdgrad_tpu.train.supervised import evaluate
+
+    os.makedirs(args.logdir, exist_ok=True)
+    with open(os.path.join(args.logdir, "paramset.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    entry = pair_data_dict[args.data]
+    rng = np.random.default_rng(0)
+    system = get_system(args.data, args.size, pair_data_dict, rng=rng)
+    n_atoms = system.get_number_of_atoms()
+    cell = np.asarray(system.get_cell())
+    cell_len = float(cell[0, 0] if cell.ndim == 2 else cell[0])
+    T = registry_T_kelvin(entry)
+    print(f"system: {args.data} N={n_atoms} L={cell_len:.3f} T={T:.2f} K")
+
+    # ---- 1. ground-truth trajectory -> labeled frames -----------------
+    target_pot = resolve_target_pot(entry["target_pot"])
+    pot_int = PairPotentials(system, target_pot, cutoff=args.cutoff)
+    tp = target_pot.init_params()
+    integ = NoseHooverChain(pot_int, system, T=T, Q=50.0, num_chains=5,
+                            adjoint=False)
+    sim = Simulation(system, integ)
+    label_fn = build_label_fn(pot_int, tp)
+
+    epoch_steps = 120
+    for _ in range(args.burnin):
+        sim.simulate(epoch_steps, dt=args.dt, frequency=epoch_steps)
+
+    z = np.asarray(system.get_atomic_numbers(), dtype=np.float32)
+    props = {"nxyz": [], "energy": [], "energy_grad": [],
+             "nbr_list": [], "offsets": []}
+    while len(props["nxyz"]) < args.n_frames:
+        traj = sim.simulate(epoch_steps, dt=args.dt,
+                            frequency=epoch_steps)
+        frames = np.asarray(traj.q)[::args.frame_stride]
+        for q in frames:
+            if len(props["nxyz"]) >= args.n_frames:
+                break
+            q = q - cell_len * np.floor(q / cell_len)  # wrap into box
+            u, g = label_fn(jnp.asarray(q))
+            nbrs, offs = pbc_pairs(q, cell_len, args.cutoff)
+            props["nxyz"].append(np.concatenate(
+                [z[:, None], q.astype(np.float32)], axis=1))
+            props["energy"].append(np.float32(u))
+            props["energy_grad"].append(np.asarray(g, dtype=np.float32))
+            props["nbr_list"].append(nbrs)
+            props["offsets"].append(offs)
+    ds = Dataset(props, units_name="kcal/mol", check=False)
+    ds.save(os.path.join(args.logdir, "dataset.npz"))
+    e = np.asarray(props["energy"])
+    print(f"dataset: {len(ds)} frames, E/N mean {e.mean()/n_atoms:.4f} "
+          f"std {e.std()/n_atoms:.4f}")
+
+    # ---- 2. supervised training ---------------------------------------
+    train, val, test = split_train_validation_test(ds, 0.15, 0.15, seed=1)
+    train_loader = DataLoader(train, batch_size=args.batch_size, seed=1)
+    val_loader = DataLoader(val, batch_size=args.batch_size,
+                            shuffle=False)
+    test_loader = DataLoader(test, batch_size=args.batch_size,
+                             shuffle=False)
+
+    model_params = {"n_atom_basis": args.n_atom_basis,
+                    "n_filters": args.n_filters,
+                    "n_gaussians": int(args.cutoff // 0.1),
+                    "n_convolutions": args.n_convolutions,
+                    "cutoff": args.cutoff}
+    model = get_model(model_params, "SchNet")
+    params = model.init_params(jnp.asarray(z, dtype=jnp.int32))
+    trainer = get_trainer(model, params, train_loader, val_loader,
+                          args.logdir, lr=args.lr,
+                          loss_coef={"energy": 0.01, "energy_grad": 1.0},
+                          max_epochs=args.max_epochs,
+                          patience=args.patience)
+    trained = trainer.train()
+    save_model(os.path.join(args.logdir, "model.pkl"), "SchNet",
+               model_params, trained)
+
+    metrics = evaluate(model.batched_predict, trained, test_loader)
+    print("test metrics:", metrics)
+
+    # ---- 3. validation-by-use: trained GNN drives MD -------------------
+    rdf_start, rdf_end, nbins = entry.get("start", 0.75), entry["end"], 100
+    robs = rdf_obs(system, nbins, (rdf_start, rdf_end))
+
+    def rdf_of(potential, pparams, tag):
+        mdint = NoseHooverChain(potential, system, T=T, Q=50.0,
+                                num_chains=5, adjoint=False)
+        mdsim = Simulation(system, mdint)
+        mdsim.params = pparams
+        gs = []
+        for i in range(args.val_sim):
+            traj = mdsim.simulate(epoch_steps, dt=args.dt,
+                                  frequency=epoch_steps)
+            if i >= args.val_sim // 3:
+                _, _, g = robs(traj.q[::4])
+                gs.append(np.asarray(g))
+        print(f"  [{tag}] sampled {len(gs)} epochs")
+        return np.mean(gs, axis=0)
+
+    rng2 = np.random.default_rng(7)
+    system.set_temperature(T, rng=rng2)
+    g_truth = rdf_of(pot_int, tp, "truth")
+    system.set_temperature(T, rng=rng2)
+    gnn_int = GNNPotentials(system, model, cutoff=args.cutoff)
+    g_gnn = rdf_of(gnn_int, trained, "gnn")
+
+    rdf_mse = float(np.mean((g_gnn - g_truth) ** 2))
+    x = np.linspace(rdf_start, rdf_end, nbins)
+    np.savetxt(os.path.join(args.logdir, "rdf_compare.csv"),
+               np.vstack([x, g_truth, g_gnn]).T, delimiter=",",
+               header="r,g_truth,g_gnn")
+    result = {"test_metrics": {k: {m: float(v) for m, v in d.items()}
+                               for k, d in metrics.items()},
+              "rdf_mse_vs_truth": rdf_mse,
+              "n_frames": len(ds), "n_atoms": n_atoms}
+    with open(os.path.join(args.logdir, "result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"validation-by-use RDF MSE vs ground truth: {rdf_mse:.5f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()
