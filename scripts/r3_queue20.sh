@@ -32,6 +32,9 @@ run validate_lj_r3e python scripts/validate_lj_best.py \
 run supervised python scripts/run_supervised.py \
   -logdir results/supervised_r3
 
+run si_transfer_4k python scripts/si_transfer.py \
+  -capacity_slack 3.0 -logdir results/si_4k_r3
+
 run hyperopt python scripts/run_hyperopt.py \
   -logdir results/hyperopt_r3 -n_trials 10 -nepochs 150
 

@@ -34,7 +34,10 @@ def main():
     p.add_argument("-data", type=str, default="Si_2.293_100K")
     p.add_argument("-size", type=int, default=8)
     p.add_argument("-nbr_mode", type=str, default="cells")
-    p.add_argument("-capacity_slack", type=float, default=2.0)
+    p.add_argument("-capacity_slack", type=float, default=3.0,
+                   help="sized off the CRYSTAL neighbor count; the "
+                        "1500 K melt densifies the first shell and "
+                        "overflowed 2.0 (queue-19 run, NaN at epoch 0)")
     p.add_argument("-anneal_epochs", type=int, default=500)
     p.add_argument("-equil_epochs", type=int, default=60)
     p.add_argument("-sample_epochs", type=int, default=40)
