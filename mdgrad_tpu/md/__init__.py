@@ -1,5 +1,5 @@
 from .integrators import (NVE, NoseHooverChain, MTSNoseHooverChain,
-                          Langevin, NVEState, NVTState)
+                          NPTBerendsenNHC, Langevin, NVEState, NVTState)
 from .simulation import Simulation, Simulations
 from .adjoint import make_odeint
 from .tinydiffeq import odeint

@@ -26,6 +26,7 @@ import typing
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import units
 from ..system import check_system
@@ -54,6 +55,18 @@ class NVTStateF(typing.NamedTuple):
     v: jnp.ndarray
     q: jnp.ndarray
     pv: jnp.ndarray
+    f: jnp.ndarray
+    fv: jnp.ndarray
+
+
+class NPTStateF(typing.NamedTuple):
+    """NPT state: NHC thermostat + barostatted cell (diagonal lengths).
+    The cell is a STATE variable, so gradients flow through the barostat
+    (unlike aux, which is data)."""
+    v: jnp.ndarray
+    q: jnp.ndarray
+    pv: jnp.ndarray
+    cell: jnp.ndarray  # (3,) diagonal cell lengths
     f: jnp.ndarray
     fv: jnp.ndarray
 
@@ -466,3 +479,118 @@ class MTSNoseHooverChain(NoseHooverChain):
         return NVTStateF(v=v + 0.5 * dt * dv1, q=q,
                          pv=pv + 0.5 * dt * dbath1, f=fs1,
                          fv=jnp.ones(()))
+
+
+class NPTBerendsenNHC(NoseHooverChain):
+    """Constant-pressure MD: Nose-Hoover chain thermostat + Berendsen
+    weak-coupling barostat (isotropic cell rescaling toward a target
+    virial pressure).
+
+    New capability beyond the reference: torchmd/mdgrad has no
+    constant-pressure path at all (its ``Pressure`` observable is broken
+    and unused, /root/reference/torchmd/thermo.py:17-54, and the cell is
+    frozen at construction, interface.py:56).  Here the diagonal cell is
+    a STATE variable, so the whole barostatted trajectory -- including
+    the equilibrium density it settles at -- is differentiable in the
+    potential parameters.
+
+    Mechanics per step (Berendsen et al., J. Chem. Phys. 81, 3684
+    (1984), eq. 30):
+
+    1. one standard NHC NH-verlet step at the current cell (the library
+       stepper, force cache and all -- the cell enters through the
+       ``interface.WithDynamicCell`` aux layout ``(cell, inner)``);
+    2. instantaneous virial pressure P via ``thermo.pressure`` (strain
+       derivative of the energy, one extra grad-eval per step);
+    3. rescale ``q`` and ``cell`` by
+       ``mu = (1 - dt*beta/tau_p * (P0 - P)) ** (1/dim)``, clipped to
+       [1-max_rescale, 1+max_rescale] for startup stability.
+
+    The cached end-of-step force is kept across the rescale (stale by
+    O(mu-1) ~ 1e-5 per step, the standard weak-coupling approximation);
+    the neighbor state refreshes at ``topology_update_freq`` against the
+    CURRENT cell via the ``aux_update_state`` hook in
+    ``Simulation.epoch_fn``.  ``P0`` (and ``kT``) ride ctrl, so pressure
+    schedules never recompile.
+
+    The wrapped interaction must accept the dynamic ``cell=`` override
+    (PairPotentials dense/table modes, table-mode GNNPotentials, Stacks
+    of those); a bare interaction is wrapped in ``WithDynamicCell``
+    automatically.
+    """
+
+    state_keys = ["velocities", "positions", "baths", "cell"]
+
+    def __init__(self, potentials, system, T, P, tau_p=None,
+                 beta=1.0, max_rescale=0.002, **kw):
+        from ..interface import WithDynamicCell
+        if kw.get("force_cache") is False:
+            raise ValueError("NPTBerendsenNHC requires force_cache")
+        cell = np.asarray(system.get_cell())
+        cell_len = np.diag(cell) if cell.ndim == 2 else cell
+        if not isinstance(potentials, WithDynamicCell):
+            potentials = WithDynamicCell(potentials, cell_len)
+        super().__init__(potentials, system, T, **kw)
+        self.P = P
+        # tau_p=None -> 1000*dt at step time: instantaneous-P noise at
+        # small N demands weak coupling regardless of the time unit.
+        # Start from an EQUILIBRATED configuration: a cold crystal's
+        # virial is far from the liquid EOS and the barostat will chase
+        # it through the melt transient.
+        self.tau_p = None if tau_p is None else float(tau_p)
+        self.beta = float(beta)
+        self.max_rescale = float(max_rescale)
+        self.cell_len0 = jnp.asarray(cell_len, dtype=jnp.float32)
+        # 2-D systems barostat the first `dim` axes only
+        self._scale_mask = jnp.asarray(
+            [1.0] * self.dim + [0.0] * (3 - self.dim))
+
+    def default_ctrl(self):
+        return {"kT": jnp.asarray(self.T * units.kB),
+                "P0": jnp.asarray(self.P)}
+
+    def update_P(self, P):
+        """Pressure-schedule entry point (mirror of update_T)."""
+        self.P = P
+        return self.default_ctrl()
+
+    def initial_state(self, wrap=True):
+        v = jnp.asarray(self.system.get_velocities())
+        q = jnp.asarray(self.system.get_positions(wrap=wrap))
+        return NPTStateF(v=v, q=q, pv=jnp.zeros(self.num_chains),
+                         cell=self.cell_len0, f=jnp.zeros_like(q),
+                         fv=jnp.zeros(()))
+
+    # cell-aware topology refresh (Simulation.epoch_fn prefers this hook)
+    def aux_update_state(self, state, aux):
+        return self.model.aux_update(state.q, aux, cell=state.cell)
+
+    def prime_state(self, params, state, aux, fresh_aux=False):
+        if not fresh_aux:
+            aux = self.model.aux_update(state.q, aux, cell=state.cell)
+        f = self.force(params, state.q, (state.cell, aux[1]))
+        return state._replace(f=f, fv=jnp.ones(())), aux
+
+    def step(self, params, state, aux, ctrl, t, dt, method=None,
+             primed=False):
+        method = method or self.default_method
+        if method not in ("verlet", "NH_verlet"):
+            raise ValueError("NPTBerendsenNHC supports the NH_verlet "
+                             "stepper only")
+        from .. import thermo
+        # 1. NVT step at the current cell: the state's cell becomes the
+        # effective aux cell (aux[0] is just the carrier default)
+        aux_eff = (state.cell, aux[1])
+        new = self._symplectic_step_cached(params, state, aux_eff, ctrl,
+                                           t, dt, primed)
+        # 2. instantaneous virial pressure at the post-step phase point
+        p_inst = thermo.pressure(self.model, params, new.q,
+                                 (state.cell, aux[1]), new.v, self.masses,
+                                 state.cell, dim=self.dim)
+        # 3. weak-coupling rescale toward P0
+        tau_p = (1000.0 * dt) if self.tau_p is None else self.tau_p
+        mu = (1.0 - dt * self.beta / tau_p
+              * (ctrl["P0"] - p_inst)) ** (1.0 / self.dim)
+        mu = jnp.clip(mu, 1.0 - self.max_rescale, 1.0 + self.max_rescale)
+        scale = 1.0 + self._scale_mask * (mu - 1.0)
+        return new._replace(q=new.q * scale, cell=state.cell * scale)

@@ -66,6 +66,10 @@ class Simulation:
                                   method=self.method)
 
             def aux_update(state, aux):
+                # barostatted integrators carry the cell in the state and
+                # rebuild topology against it (NPTBerendsenNHC)
+                if hasattr(integ, "aux_update_state"):
+                    return integ.aux_update_state(state, aux)
                 return integ.aux_update(state.q, aux)
 
             reverse_step = None
@@ -120,7 +124,9 @@ class Simulation:
         (parity: reference md.py:60-71)."""
         state = self.state
         if self.wrap:
-            q = _wrap_positions(state.q, self.system.get_cell())
+            cell = (jnp.diag(state.cell) if hasattr(state, "cell")
+                    else self.system.get_cell())
+            q = _wrap_positions(state.q, cell)
             state = state._replace(q=q)
         return state
 

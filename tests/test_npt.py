@@ -1,0 +1,133 @@
+"""NPT (Berendsen barostat + NHC thermostat): self-consistent density
+control and differentiability through the barostatted trajectory.
+
+The reference has no constant-pressure path (its Pressure observable is
+broken and unused, /root/reference/torchmd/thermo.py:17-54)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdgrad_tpu import potentials, units, thermo
+from mdgrad_tpu.system import System
+from mdgrad_tpu.interface import PairPotentials
+from mdgrad_tpu.md import NoseHooverChain, NPTBerendsenNHC, Simulation
+
+RHO, T_RED, CUT = 0.845, 1.2, 2.3
+A = (4 / RHO) ** (1 / 3)  # fcc lattice constant at the target density
+
+
+def melted_system(scale=1.0, seed=0, epochs=6):
+    """Liquid LJ configuration: NVT-equilibrate the lattice first (the
+    crystal's virial is far from the liquid EOS; see NPTBerendsenNHC)."""
+    sys_ = System.from_lattice("fcc", 3, A * scale)  # 108 atoms
+    sys_.set_temperature(T_RED / units.kB,
+                         rng=np.random.default_rng(seed))
+    pair = PairPotentials(sys_, potentials.LennardJones(1.0, 1.0),
+                          cutoff=CUT)
+    integ = NoseHooverChain(pair, sys_, T=T_RED / units.kB, Q=50.0,
+                            num_chains=3, adjoint=False)
+    sim = Simulation(sys_, integ)
+    for _ in range(epochs):
+        traj = sim.simulate(60, dt=0.005, frequency=60)
+    return sys_, pair, sim, traj
+
+
+@pytest.fixture(scope="module")
+def p_target():
+    """Ground-truth P(rho=0.845, T=1.2) for THIS cutoff, from NVT."""
+    sys_, pair, sim, _ = melted_system(seed=0, epochs=3)
+    cell = sys_.get_cell()
+    masses = sys_.get_masses()
+    tp = sim.params
+    p_fn = jax.jit(jax.vmap(lambda q, v: thermo.pressure(
+        pair, tp, q, (), v, masses, cell, dim=3)))
+    ps = []
+    for _ in range(5):
+        traj = sim.simulate(60, dt=0.005, frequency=60)
+        ps.append(float(p_fn(traj.q[::10], traj.v[::10]).mean()))
+    return float(np.mean(ps))
+
+
+def run_npt(sys_, pair, p_target, epochs, seed_P=None):
+    integ = NPTBerendsenNHC(pair, sys_, T=T_RED / units.kB, P=p_target,
+                            Q=50.0, num_chains=3, adjoint=False)
+    sim = Simulation(sys_, integ)
+    n = sys_.get_number_of_atoms()
+    rhos, ps = [], []
+    masses = sys_.get_masses()
+    for e in range(epochs):
+        sim.simulate(60, dt=0.005, frequency=60)
+        st = sim.state
+        rhos.append(n / float(np.prod(np.asarray(st.cell))))
+        if e >= epochs // 2:
+            ps.append(float(thermo.pressure(
+                integ.model, sim.params, st.q,
+                (jnp.asarray(st.cell), ()), st.v, masses, st.cell,
+                dim=3)))
+    assert np.isfinite(np.asarray(sim.state.q)).all()
+    return sim, rhos, ps
+
+
+def test_npt_holds_density_and_pressure(p_target):
+    # start AT the target density (liquid): the barostat must hold it
+    sys_, pair, _, _ = melted_system(seed=1)
+    sim, rhos, ps = run_npt(sys_, pair, p_target, epochs=30)
+    rho_end = float(np.mean(rhos[-10:]))
+    assert abs(rho_end - RHO) < 0.05 * RHO, (rho_end, p_target)
+    assert abs(np.mean(ps) - p_target) < 0.8, (np.mean(ps), p_target)
+    assert len(sim.log["cell"]) == 30  # cell rode state_keys into the log
+
+
+def test_npt_contracts_expanded_box(p_target):
+    # start 4% expanded (rho 0.75, melted there): must contract back
+    sys_, pair, _, _ = melted_system(scale=1.04, seed=2)
+    n = sys_.get_number_of_atoms()
+    rho0 = n / float(np.prod(np.diag(np.asarray(sys_.get_cell()))))
+    _, rhos, _ = run_npt(sys_, pair, p_target, epochs=35)
+    rho_end = float(np.mean(rhos[-10:]))
+    assert rho_end > rho0 + 0.04, (rho0, rho_end)
+    assert abs(rho_end - RHO) < 0.06 * RHO, (rho_end, rhos)
+
+
+def test_npt_gradients_flow_through_barostat():
+    # d(final volume)/d(epsilon, sigma) is nonzero: the equilibrium
+    # density under pressure is a differentiable function of the
+    # potential -- the fitting signal NPT adds
+    sys_, pair, _, _ = melted_system(seed=3, epochs=2)
+    integ = NPTBerendsenNHC(pair, sys_, T=T_RED / units.kB, P=3.0,
+                            Q=50.0, num_chains=3, tau_p=0.5,
+                            adjoint=True)
+    sim = Simulation(sys_, integ)
+    ode = sim.epoch_fn(dt=0.005, frequency=40)
+    state, aux = sim.initial_state()
+    ctrl = integ.default_ctrl()
+
+    def loss(params):
+        traj, _ = ode(params, state, aux, ctrl)
+        return jnp.prod(traj.cell[-1])
+
+    g = jax.grad(loss)(sim.params)
+    assert np.isfinite(float(g["epsilon"])) and float(g["epsilon"]) != 0.0
+    assert np.isfinite(float(g["sigma"])) and float(g["sigma"]) != 0.0
+
+
+def test_npt_2d_scales_only_xy():
+    from mdgrad_tpu.lattice import square_lattice_2d
+    positions, cell = square_lattice_2d(0.4, 4)
+    sys_ = System(positions, cell, dim=2)
+    sys_.masses = np.ones(len(positions))
+    sys_.set_temperature(0.2 / units.kB, rng=np.random.default_rng(4))
+    pair = PairPotentials(sys_, potentials.ExcludedVolume(1.0, 0.9, 12),
+                          cutoff=2.0)
+    integ = NPTBerendsenNHC(pair, sys_, T=0.2 / units.kB, P=0.5,
+                            Q=30.0, num_chains=3, tau_p=0.5,
+                            adjoint=False)
+    sim = Simulation(sys_, integ)
+    z0 = float(np.asarray(sys_.get_cell())[2, 2])
+    sim.simulate(80, dt=0.005, frequency=40)
+    cell = np.asarray(sim.state.cell)
+    assert np.isfinite(np.asarray(sim.state.q)).all()
+    assert cell[2] == pytest.approx(z0)  # z axis untouched
+    assert cell[0] != pytest.approx(float(np.asarray(sys_.get_cell())[0, 0]))
