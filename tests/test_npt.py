@@ -113,6 +113,44 @@ def test_npt_gradients_flow_through_barostat():
     assert np.isfinite(float(g["sigma"])) and float(g["sigma"]) != 0.0
 
 
+def test_npt_density_fit_moves_sigma():
+    # the workflow NPT unlocks: fit the potential so the EQUILIBRIUM
+    # DENSITY at (T, P) matches a target.  Densifying the target must
+    # shrink sigma and reduce the loss -- gradients of a macroscopic
+    # thermodynamic state through the barostatted trajectory
+    import optax
+    sys_, pair, _, _ = melted_system(seed=5, epochs=5)
+    integ = NPTBerendsenNHC(pair, sys_, T=T_RED / units.kB, P=3.6,
+                            Q=50.0, num_chains=3, tau_p=1.0,
+                            adjoint=True)
+    sim = Simulation(sys_, integ)
+    ode = sim.epoch_fn(dt=0.005, frequency=60)
+    state, aux = sim.initial_state()
+    ctrl = integ.default_ctrl()
+    n = sys_.get_number_of_atoms()
+    rho_target = 0.88
+
+    def loss_fn(p, state, aux):
+        traj, aux2 = ode(p, state, aux, ctrl)
+        rho = n / jnp.prod(traj.cell[-20:], axis=-1).mean()
+        last = jax.tree_util.tree_map(lambda x: x[-1], traj)
+        return ((rho - rho_target) ** 2,
+                (jax.lax.stop_gradient(last), aux2))
+
+    vg = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    params = dict(sim.params)
+    opt = optax.adam(2e-3)
+    ost = opt.init(params)
+    losses = []
+    for _ in range(10):
+        (l, (state, aux)), g = vg(params, state, aux)
+        up, ost = opt.update(g, ost)
+        params = optax.apply_updates(params, up)
+        losses.append(float(l))
+    assert float(params["sigma"]) < 0.999  # denser target -> smaller core
+    assert np.mean(losses[-3:]) < losses[0] / 3, losses
+
+
 def test_npt_2d_scales_only_xy():
     from mdgrad_tpu.lattice import square_lattice_2d
     positions, cell = square_lattice_2d(0.4, 4)
