@@ -25,6 +25,7 @@ from . import profiling
 from .interface import (PairPotentials, TPairPotentials, GNNPotentials,
                         Electrostatics, BondPotentials, AnglePotentials,
                         Stack)
-from .md import NVE, NoseHooverChain, Simulation, Simulations, Isomerization
+from .md import (NVE, NoseHooverChain, MTSNoseHooverChain, NPTBerendsenNHC,
+                 Langevin, Simulation, Simulations, Isomerization)
 
 __version__ = "0.1.0"
