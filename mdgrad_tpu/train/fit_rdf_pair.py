@@ -55,13 +55,24 @@ def resolve_target_pot(spec):
 
 
 def get_target_obs(system, entry, n_sim, rdf_range, nbins, t_range,
-                   dt, skip=2, steps_per_sim=100, rng=None):
+                   dt, skip=None, steps_per_sim=100, rng=None):
     """Simulate the ground-truth potential to generate target RDF/VACF
     (parity: reference fit_rdf_pair.py:159-204) -- plus the mean virial
     pressure, the auxiliary target that breaks the RDF-only well-depth
     degeneracy (the reference's Pressure observable is broken and never
-    used, /root/reference/torchmd/thermo.py:17-54)."""
+    used, /root/reference/torchmd/thermo.py:17-54).
+
+    ``skip`` (default ``max(2, n_sim // 3)``) is the equilibration
+    prefix discarded before sampling.  It must SCALE with n_sim: a
+    fixed skip=2 (200 steps from the lattice) leaves the dense-cold
+    states under-equilibrated and their P target biased low by ~0.2
+    (lj_0.845_0.75: short-protocol target 0.804 vs the low-noise
+    validation's 1.046 for the same truth potential) -- and that state
+    is exactly the one whose pressure pins the attractive-well depth
+    (results/r3_logs/validate_lj_r3e.log)."""
     from .. import thermo
+    if skip is None:
+        skip = max(2, n_sim // 3)
     target_pot = resolve_target_pot(entry["target_pot"])
     pot_int = PairPotentials(system, target_pot, cutoff=2.5)
     integ = NoseHooverChain(pot_int, system, T=registry_T_kelvin(entry),

@@ -62,6 +62,12 @@ def main():
                         "per-epoch train loss is biased by MD state "
                         "drift; see fit_rdf_pair.fit_lj)")
     p.add_argument("-eval_eq_epochs", type=int, default=4)
+    p.add_argument("-target_nsim", type=int, default=8,
+                   help="ground-truth target-generation epochs (100 "
+                        "steps each; 1/3 discarded as equilibration). "
+                        "Dense-cold states need >=30 or the P target "
+                        "is biased low -- see fit_rdf_pair."
+                        "get_target_obs")
     p.add_argument("-eval_sample_epochs", type=int, default=8)
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
@@ -85,6 +91,7 @@ def main():
         "eval_eq_epochs": args.eval_eq_epochs,
         "eval_sample_epochs": args.eval_sample_epochs,
         "capacity_slack": args.capacity_slack,
+        "target_nsim": args.target_nsim,
     }
     if args.dry_run:
         assignments["opt_freq"] = 21
