@@ -135,6 +135,7 @@ def evaluate(params, label, cfg, use_vacf, eq_epochs=EQ_EPOCHS,
         x, g_t, robs, vacf_t, vobs, p_t = get_observer(
             system, tag, cfg["nbins"], cfg["t_range"],
             entry.get("start", 0.75), pair_data_dict,
+            target_nsim=cfg.get("_target_nsim", 30),
             want_pressure=True, rng=rng)
         dt = entry.get("dt", 0.01)
         masses, cell = system.get_masses(), system.get_cell()
@@ -204,10 +205,16 @@ def main():
                          "(default: the run's vacf_weight)")
     ap.add_argument("-eq_epochs", type=int, default=EQ_EPOCHS)
     ap.add_argument("-sample_epochs", type=int, default=SAMPLE_EPOCHS)
+    ap.add_argument("-target_nsim", type=int, default=30,
+                    help="target-regeneration epochs; must be large "
+                         "enough that 1/3 discarded equilibrates the "
+                         "dense-cold states (see fit_rdf_pair."
+                         "get_target_obs)")
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
 
     cfg = load_cfg(args.run)
+    cfg["_target_nsim"] = args.target_nsim
     use_vacf = str(cfg.get("train_vacf", "False")) == "True"
     vacf_w = (args.vacf_score_weight if args.vacf_score_weight is not None
               else float(cfg.get("vacf_weight", 0.0)))
