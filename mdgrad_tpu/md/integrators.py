@@ -313,13 +313,26 @@ class NoseHooverChain(_MDIntegrator):
     Kelvin at the API and convert internally, so drivers pass the same
     numbers as reference configs).  Q is the bath-mass scalar; the chain
     masses are [Q, Q/N, ..., Q/N] (reference md.py:191-193).
+
+    Large-N caveat of that convention: the link masses Q/N are far below
+    the thermal scale kT*tau^2 for any sensible tau, so a strong
+    non-equilibrium transient (e.g. a melt, where T falls for tens of
+    steps and pv0 swings many sigma) drives pv1^2/Q1 >> kT and the
+    excess CASCADES down the chain, amplifying at every link -- observed
+    as pv [3, .1, .1] -> [?, 524, -4261, 5525] -> inf within 6 steps in
+    the size-8 a-Si anneal (N=4096; size 4 merely stays under the
+    cascade threshold).  For large systems or violent transients pass
+    ``tau`` instead of ``Q``: the canonical Martyna-Tuckerman-Klein
+    masses Q0 = N_dof*kT*tau^2, Qk = kT*tau^2 (tau ~ 20-100 dt) keep
+    every link's thermal scale N-invariant.
     """
 
     state_keys = ["velocities", "positions", "baths"]
     default_method = "NH_verlet"
 
     def __init__(self, potentials, system, T, num_chains=2, Q=1.0,
-                 adjoint=True, topology_update_freq=1, force_cache=True):
+                 adjoint=True, topology_update_freq=1, force_cache=True,
+                 tau=None):
         super().__init__(potentials, system, adjoint, topology_update_freq,
                          force_cache=force_cache)
         if num_chains < 2:
@@ -327,7 +340,15 @@ class NoseHooverChain(_MDIntegrator):
         self.T = T
         self.num_chains = num_chains
         n = system.get_number_of_atoms()
-        self.Q = jnp.asarray([Q] + [Q / n] * (num_chains - 1))
+        if tau is not None:
+            # MTK masses at the CONSTRUCTION temperature (annealing via
+            # update_T does not re-derive them; tau drifts by
+            # sqrt(T/T0), acceptable across anneal schedules)
+            kT0 = T * units.kB
+            self.Q = jnp.asarray([self.n_dof * kT0 * tau ** 2]
+                                 + [kT0 * tau ** 2] * (num_chains - 1))
+        else:
+            self.Q = jnp.asarray([Q] + [Q / n] * (num_chains - 1))
 
     def update_T(self, T):
         """Annealing entry point (reference md.py:207-208): changes the

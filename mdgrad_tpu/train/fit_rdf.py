@@ -185,6 +185,17 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
                 capacity_slack=float(sys_params.get("capacity_slack",
                                                     1.6)))
         stack = Stack({"nn": nn_int, "pair": prior_int})
+        # reference chain-mass convention is [Q, Q/N, ...] (md.py:191-193):
+        # secondary masses SHRINK with N, so the chain's own frequency
+        # grows ~sqrt(N) and dt that is stable at 512 atoms blows up the
+        # bath at 4096 (pv 3 -> 147 -> NaN inside 20 steps, size-8 a-Si).
+        # Scale Q with N to keep the secondary masses (and the chain
+        # timescale) N-invariant unless the caller pins Q explicitly.
+        n_atoms_sys = system.get_number_of_atoms()
+        Q = float(sys_params.get("Q") or 50.0 * max(n_atoms_sys / 512, 1.0))
+        # MTK masses (tau in the same units as dt) are the robust choice
+        # for melts / large N -- see integrators.NoseHooverChain
+        nhc_tau = sys_params.get("nhc_tau")
         mts_k = int(sys_params.get("mts_inner", 0) or 0)
         if mts_k > 1 and not (sys_params.get("pair_flag")
                               or sys_params.get("tpair_flag")):
@@ -193,13 +204,15 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
             # dt/opt_freq so the INNER step and the simulated window
             # match the single-rate config (fit_rdf does this)
             integ = MTSNoseHooverChain(
-                stack, system, T=T_kelvin, Q=50.0, num_chains=5,
+                stack, system, T=T_kelvin, Q=Q, tau=nhc_tau,
+                num_chains=5,
                 adjoint=True, fast_keys=("pair",), n_inner=mts_k,
                 topology_update_freq=sys_params.get(
                     "topology_update_freq", 1))
         else:
             integ = NoseHooverChain(
-                stack, system, T=T_kelvin, Q=50.0, num_chains=5,
+                stack, system, T=T_kelvin, Q=Q, tau=nhc_tau,
+                num_chains=5,
                 adjoint=True,
                 topology_update_freq=sys_params.get(
                     "topology_update_freq", 1))

@@ -45,6 +45,8 @@ def main():
     p.add_argument("-start_T", type=float, default=1500.0)
     p.add_argument("-anneal_rate", type=float, default=5.0)
     p.add_argument("-compute_dtype", type=str, default="float32")
+    p.add_argument("-nhc_tau", type=float, default=50.0,
+                   help="MTK thermostat time constant in units of dt")
     p.add_argument("-logdir", type=str, default="results/si_4k_r3")
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
@@ -86,6 +88,12 @@ def main():
         assignments["nbins"] = 100
 
     rng = np.random.default_rng(0)
+    entry = exp_rdf_data_dict[args.data]
+    time_unit = 1.0 if entry.get("reduced_units") else units.fs
+    # MTK chain masses: the reference's Q/N link masses cascade-diverge
+    # in the 4096-atom melt transient (integrators.NoseHooverChain
+    # docstring); tau = 50 dt keeps every link at its thermal scale
+    sys_params["nhc_tau"] = args.nhc_tau * sys_params["dt"] * time_unit
     built = build_fit(assignments, sys_params,
                       registry=exp_rdf_data_dict, rng=rng)
     system = built["systems"][0]
@@ -118,6 +126,11 @@ def main():
                   f"{epoch}", flush=True)
 
     # ---- melt-quench anneal (inference-only MD, frozen params) ----
+    # hot start: velocities AT the melt temperature -- lattice-cold
+    # velocities against a 1500 K thermostat target charge the bath
+    # through a 15x temperature jolt
+    system.set_temperature(args.start_T, rng=rng)
+
     for epoch in range(args.anneal_epochs):
         if epoch % assignments["anneal_freq"] == 0:
             integ.update_T(get_temp(args.start_T, T_equil,

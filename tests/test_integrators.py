@@ -73,6 +73,32 @@ def test_nhc_controls_temperature(lj_system):
     assert abs(mean_T - target_T_ev) / target_T_ev < 0.2, temps
 
 
+def test_nhc_mtk_masses_control_temperature(lj_system):
+    # tau option: canonical MTK chain masses Q0=N_dof*kT*tau^2,
+    # Qk=kT*tau^2 -- N-invariant link thermal scales (the reference's
+    # Q/N links cascade-diverge in large-N transients; see
+    # NoseHooverChain docstring)
+    target_T_ev = 1.2
+    pair = make_pair(lj_system, "dense")
+    tau = 50 * 0.005
+    integ = NoseHooverChain(pair, lj_system, T=target_T_ev / units.kB,
+                            num_chains=5, tau=tau, adjoint=False)
+    n_dof = lj_system.get_number_of_atoms() * 3
+    q = np.asarray(integ.Q)
+    assert q[0] == pytest.approx(n_dof * target_T_ev * tau ** 2, rel=1e-5)
+    assert q[1] == pytest.approx(target_T_ev * tau ** 2, rel=1e-5)
+    assert np.all(q[1:] == q[1])
+    sim = Simulation(lj_system, integ)
+    traj = None
+    for _ in range(6):
+        traj = sim.simulate(steps=100, dt=0.005, frequency=100)
+    temps = [float(thermo.temperature(traj.v[i],
+                                      lj_system.get_masses(), dim=3))
+             for i in range(0, 100, 10)]
+    mean_T = np.mean(temps[3:])
+    assert abs(mean_T - target_T_ev) / target_T_ev < 0.2, temps
+
+
 def test_simulate_epochs_and_log(lj_system):
     pair = make_pair(lj_system, "dense")
     integ = NVE(pair, lj_system, adjoint=True)
