@@ -54,16 +54,31 @@ def bench(mode, size, reps=5):
         return ((g - 1.0) ** 2).mean()
 
     vg = jax.jit(jax.value_and_grad(epoch_loss_grad))
-    (l, g) = vg(sim.params)
+    compiled = vg.lower(sim.params).compile()
+    (l, g) = compiled(sim.params)
     jax.block_until_ready(l)
     t0 = time.perf_counter()
     for _ in range(reps):
-        l, g = vg(sim.params)
+        l, g = compiled(sim.params)
     jax.block_until_ready(l)
     el = (time.perf_counter() - t0) / reps
     sps = TAU / el
+    # MFU at scale: the low single-chip MFU at N=512 is occupancy-bound
+    # (BENCH.md round-3 log); quantify how much utilization the large-N
+    # path buys back
+    mfu_s = ""
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        fl = float(ca.get("flops", 0.0))
+        if fl > 0:
+            tflops = fl / el / 1e12
+            mfu_s = (f"  {fl / 1e9:7.1f} GFLOP/epoch {tflops:6.2f} "
+                     f"TFLOP/s ({100.0 * tflops / 197.0:.2f}% MFU)")
+    except Exception:  # noqa: BLE001
+        pass
     print(f"N={n:6d} {mode:6s} {el * 1e3:9.1f} ms/epoch "
-          f"({sps:7.1f} fit steps/s)  loss={float(l):.4f}")
+          f"({sps:7.1f} fit steps/s)  loss={float(l):.4f}{mfu_s}")
     return el
 
 
