@@ -232,11 +232,28 @@ def fit_lj(assignments, sys_params, model_path=None, log=print,
     ckpt = FitCheckpointer(model_path, every=sys_params.get("ckpt_every", 10))
     resume = ckpt.restore()
 
+    # warm start from a previous run's saved params (best.pkl /
+    # best_eval.pkl layout: {"params": pytree, ...}) -- replaces the BI
+    # pretrain so a fit can continue refining an already-validated
+    # candidate under new hyperparameters (reference analog: the GNN
+    # driver reloads prior model state, fit_rdf_gnn.py:368-369)
+    init_pkl = sys_params.get("init_pkl")
+    if resume is None and init_pkl:
+        import pickle
+        with open(init_pkl, "rb") as f:
+            blob = pickle.load(f)
+        init_p = blob["params"] if isinstance(blob, dict) and \
+            "params" in blob else blob
+        params["pairnn"] = jax.device_put(init_p["pairnn"])
+        for sim in sims:
+            sim.params = params
+        log(f"warm start from {init_pkl}")
+
     # optional Boltzmann-inversion pretraining of the pairMLP against the
     # targets (the reference only pretrains in its GNN driver,
     # fit_rdf_gnn.py:254-298; the same warm start stabilizes multi-state
     # pair fits here); skipped on resume
-    if resume is None and sys_params.get("pretrain_iters", 0):
+    if resume is None and not init_pkl and sys_params.get("pretrain_iters", 0):
         # pretrain expects Kelvin (it multiplies kB itself); for reduced-
         # units entries registry_T_kelvin(T)*kB == the reduced kT, exact
         T_list = [registry_T_kelvin(registry[t]) for t in all_sys]

@@ -69,6 +69,9 @@ def main():
                         "is biased low -- see fit_rdf_pair."
                         "get_target_obs")
     p.add_argument("-eval_sample_epochs", type=int, default=8)
+    p.add_argument("-init_pkl", type=str, default=None,
+                   help="warm-start params from a saved best.pkl / "
+                        "best_eval.pkl (replaces the BI pretrain)")
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
@@ -92,6 +95,7 @@ def main():
         "eval_sample_epochs": args.eval_sample_epochs,
         "capacity_slack": args.capacity_slack,
         "target_nsim": args.target_nsim,
+        "init_pkl": args.init_pkl,
     }
     if args.dry_run:
         assignments["opt_freq"] = 21
