@@ -33,10 +33,17 @@ def bench(mode, size, reps=5):
     sys_ = System.from_lattice("fcc", size, 1.679)
     sys_.set_temperature(1.0 / units.kB, rng=rng)
     n = sys_.get_number_of_atoms()
+    # mode "cells+pl" = cells edge builder + the Pallas fused
+    # gather-filter-reduce aggregation kernel (ops/pallas_gather):
+    # documented as losing to one-hot at N=512 (BENCH.md) but never
+    # measured where the gather path itself is the winner (large N)
+    nbr_mode, gather_mode = (("cells", "pallas") if mode == "cells+pl"
+                             else (mode, "auto"))
     gnn = SchNet({"n_atom_basis": 32, "n_filters": 32, "n_gaussians": 16,
                   "n_convolutions": 2, "cutoff": CUT,
-                  "compute_dtype": "bf16"})
-    inter = GNNPotentials(sys_, gnn, cutoff=CUT, nbr_mode=mode, k_max=64)
+                  "compute_dtype": "bf16", "gather_mode": gather_mode})
+    inter = GNNPotentials(sys_, gnn, cutoff=CUT, nbr_mode=nbr_mode,
+                          k_max=64)
     integ = NoseHooverChain(inter, sys_, T=1.0 / units.kB, Q=50.0,
                             num_chains=5, adjoint=True,
                             topology_update_freq=1)
@@ -86,13 +93,16 @@ def main():
     print(f"devices: {jax.devices()}")
     for size in (10, 13):          # 4,000 / 8,788 atoms
         times = {}
-        for mode in ("table", "cells"):
+        for mode in ("table", "cells", "cells+pl"):
             try:
                 times[mode] = bench(mode, size)
             except Exception as e:  # noqa: BLE001
                 print(f"size={size} {mode} FAILED: {str(e)[:120]}")
-        if len(times) == 2:
+        if "table" in times and "cells" in times:
             print(f"  -> cells speedup {times['table'] / times['cells']:.2f}x")
+        if "cells" in times and "cells+pl" in times:
+            print(f"  -> pallas-gather vs XLA gather "
+                  f"{times['cells'] / times['cells+pl']:.2f}x")
 
 
 if __name__ == "__main__":
