@@ -1,0 +1,274 @@
+"""Differentiable Trajectory Reweighting (DiffTRe) gradient engine.
+
+Fits potential parameters to ensemble observables WITHOUT
+differentiating through the MD trajectory (Thaler & Zavadlav,
+"Learning neural network potentials from experimental data via
+Differentiable Trajectory Reweighting", Nat. Commun. 12, 6884 (2021)).
+
+Given F decorrelated states ``x_i`` sampled once from the canonical
+ensemble of ``U_ref = U(theta_ref)``, any ensemble average under
+perturbed parameters ``theta`` is the importance-weighted sum
+
+    <O>_theta = sum_i w_i(theta) O_i,
+    w_i = softmax_i( -(U_theta(x_i) - U_ref(x_i)) / kT ),
+
+valid while the effective sample size stays close to F (the ``ess``
+guard below).  Two kinds of observable compose:
+
+* theta-INDEPENDENT per-frame values (RDF histograms): precomputed
+  once; a gradient step then costs F *batched* energy evaluations --
+  no scan, no adjoint, no sequential per-step work at all.  On TPU
+  this replaces tau serially-dependent small kernels per gradient
+  with one embarrassingly-parallel F-frame energy batch (vmap),
+  which is exactly the shape the MXU wants.
+* theta-DEPENDENT per-frame values (the virial pressure): recomputed
+  under the current theta and reweighted; still F-parallel.
+
+Within one outer iteration the frames are FIXED, so the inner
+optimization is deterministic -- no per-epoch trajectory/estimator
+noise in the gradient.  That makes DiffTRe the right tool where
+trajectory-gradient fits are estimator-noise-limited (the multi-state
+LJ well-depth stall, BENCH.md round-3 log); the trade is that the
+gradient is only trustworthy inside the overlap region of theta_ref
+(the ESS guard triggers resampling).  The trajectory adjoint
+(md/adjoint.py) remains the engine for dynamical observables (VACF)
+and for driving the dynamics itself; the framework ships both.
+
+The reference (torchmd/mdgrad) has no reweighting path anywhere --
+every gradient there goes through the trajectory.
+
+All per-outer arrays (frames, auxes, reference energies, per-frame
+RDFs) travel as ARGUMENTS of one jitted value-and-grad built once per
+fit, so resampling never recompiles (same F, N shapes).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# pure reweighting math (jit/vmap/grad-safe)
+# ---------------------------------------------------------------------------
+
+def log_weights(interaction, kT, params, frames, auxs, u_ref):
+    """Unnormalized log importance weights -(U_theta - U_ref)/kT."""
+    u = jax.vmap(lambda q, a: interaction.energy(params, q, a),
+                 in_axes=(0, 0))(frames, auxs)
+    return -(u - u_ref) / kT
+
+
+def ess_fraction(w):
+    """Effective-sample-size fraction ESS/F = 1/(F sum w^2), in (0, 1]."""
+    return 1.0 / (w.shape[0] * jnp.sum(w ** 2))
+
+
+def config_pressures(interaction, kT, dim, cell_len, params, frames,
+                     auxs):
+    """Per-frame configurational pressure with the analytic kinetic
+    part: P_i = (N_dof kT + W_i) / (dim V), W_i the strain-derivative
+    virial (thermo.pressure with 2 KE -> its canonical average
+    N_dof kT).  Differentiable in ``params``."""
+    cell_len = jnp.asarray(cell_len)
+    volume = jnp.abs(jnp.prod(cell_len))
+    n_dof = frames.shape[-2] * dim
+
+    def virial(q, a):
+        def scaled(eps):
+            return interaction.energy(params, (1.0 + eps) * q, a,
+                                      cell=(1.0 + eps) * cell_len)
+        return -jax.grad(scaled)(0.0)
+
+    w = jax.vmap(virial, in_axes=(0, 0))(frames, auxs)
+    return (n_dof * kT + w) / (dim * volume)
+
+
+# ---------------------------------------------------------------------------
+# sampling + per-frame precompute
+# ---------------------------------------------------------------------------
+
+def sample_frames(sim, n_frames, steps_between, dt, equil_steps=0,
+                  ctrl=None):
+    """Run MD with the CURRENT ``sim.params`` and collect ``n_frames``
+    decorrelated frames (one every ``steps_between`` steps).
+
+    Plain host-loop sampling through ``Simulation.simulate`` (detached
+    epochs, reference md.py:47-58 semantics) -- gradients never see this
+    trajectory, so no adjoint machinery is involved.
+    """
+    if equil_steps:
+        sim.simulate(steps=equil_steps, dt=dt, frequency=equil_steps,
+                     ctrl=ctrl)
+    frames = []
+    for _ in range(int(n_frames)):
+        traj = sim.simulate(steps=steps_between, dt=dt,
+                            frequency=steps_between, ctrl=ctrl)
+        frames.append(np.asarray(traj.q[-1]))
+    return jnp.asarray(np.stack(frames))
+
+
+def make_bundle(interaction, frames, params_ref, obs=None):
+    """Precompute the per-outer arrays: stacked neighbor auxes, reference
+    energies, and (optionally) per-frame RDFs.  Returns a dict pytree fit
+    to pass through a jitted loss."""
+    aux0 = interaction.aux_init(np.asarray(frames[0]))
+    auxs = jax.jit(lambda fr: jax.lax.map(
+        lambda q: interaction.aux_update(q, aux0), fr))(frames)
+    u_ref = jax.jit(jax.vmap(
+        lambda q, a: interaction.energy(params_ref, q, a),
+        in_axes=(0, 0)))(frames, auxs)
+    bundle = {"frames": frames, "auxs": auxs, "u_ref": u_ref}
+    if obs is not None:
+        bundle["g_frames"] = jax.jit(lambda fr: jax.lax.map(
+            lambda q: obs(q)[2], fr))(frames)
+    return bundle
+
+
+class ReweightEstimator:
+    """Convenience wrapper: one frame set, one interaction.
+
+    ``weights(params)``/``frame_pressures(params)`` close over the
+    precomputed bundle -- the simple API for single-state use and tests;
+    the multi-state driver below uses the module-level functions with
+    explicit bundle arguments instead (one compile per fit).
+    """
+
+    def __init__(self, interaction, frames, params_ref, kT, dim=3,
+                 cell=None):
+        self.interaction = interaction
+        self.kT = float(kT)
+        self.dim = int(dim)
+        cell = None if cell is None else jnp.asarray(cell)
+        self.cell_len = (None if cell is None
+                         else (jnp.diag(cell) if cell.ndim == 2 else cell))
+        b = make_bundle(interaction, frames, params_ref)
+        self.frames, self.auxs, self.u_ref = (b["frames"], b["auxs"],
+                                              b["u_ref"])
+
+    def weights(self, params):
+        lw = log_weights(self.interaction, self.kT, params, self.frames,
+                         self.auxs, self.u_ref)
+        w = jax.nn.softmax(lw)
+        return w, ess_fraction(w)
+
+    def frame_pressures(self, params):
+        if self.cell_len is None:
+            raise ValueError("pass cell= to ReweightEstimator for "
+                             "pressure reweighting")
+        return config_pressures(self.interaction, self.kT, self.dim,
+                                self.cell_len, params, self.frames,
+                                self.auxs)
+
+
+def make_rdf_loss(est, g_frames, g_target, pressure_target=None,
+                  pressure_weight=0.0):
+    """Single-state reweighted loss over theta:
+    ``loss(params) -> (scalar, dict(ess=..., g_hat=..., [p_hat=...]))``.
+    MSE on the reweighted RDF plus optionally the reweighted
+    configurational pressure (both share the weights)."""
+    g_frames = jnp.asarray(g_frames)
+    g_target = jnp.asarray(g_target)
+
+    def loss_fn(params):
+        w, ess = est.weights(params)
+        g_hat = w @ g_frames
+        loss = ((g_hat - g_target) ** 2).mean()
+        out = {"ess": ess, "g_hat": g_hat}
+        if pressure_weight and pressure_target is not None:
+            p_hat = jnp.dot(w, est.frame_pressures(params))
+            loss = loss + pressure_weight * (p_hat - pressure_target) ** 2
+            out["p_hat"] = p_hat
+        return loss, out
+
+    return loss_fn
+
+
+# ---------------------------------------------------------------------------
+# multi-state outer/inner driver
+# ---------------------------------------------------------------------------
+
+def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
+                n_outer=20, inner_steps=50, n_frames=40,
+                steps_between=20, equil_steps=200, ess_min=0.9,
+                pressure_targets=None, pressure_weight=0.0,
+                dim=3, log=print):
+    """Multi-state DiffTRe: sample with the current params, then take up
+    to ``inner_steps`` deterministic gradient steps on the summed
+    reweighted loss, resampling when any state's ESS fraction drops
+    below ``ess_min``.
+
+    sims/observers/targets/kTs/cells are per-state lists (the
+    multi-state LJ layout of fit_rdf_pair).  Returns (params, history);
+    history rows carry per-state reweighted RDF/pressure estimates of
+    the final inner iterate.
+    """
+    import optax
+
+    if inner_steps < 1:
+        raise ValueError("inner_steps must be >= 1")
+    interactions = [sim.integrator.model for sim in sims]
+    kT_l = [float(k) for k in kTs]
+    cell_l = [None if c is None else jnp.asarray(c) for c in cells]
+    cl_l = [None if c is None
+            else (jnp.diag(c) if c.ndim == 2 else c) for c in cell_l]
+    tgt_l = [jnp.asarray(t) for t in targets]
+    p_tgt = pressure_targets
+
+    def total_loss(params, bundles):
+        losses, esss, p_hats = [], [], []
+        for i, b in enumerate(bundles):
+            lw = log_weights(interactions[i], kT_l[i], params,
+                             b["frames"], b["auxs"], b["u_ref"])
+            w = jax.nn.softmax(lw)
+            esss.append(ess_fraction(w))
+            g_hat = w @ b["g_frames"]
+            loss = ((g_hat - tgt_l[i]) ** 2).mean()
+            if pressure_weight and p_tgt is not None:
+                p_i = config_pressures(interactions[i], kT_l[i], dim,
+                                       cl_l[i], params, b["frames"],
+                                       b["auxs"])
+                p_hat = jnp.dot(w, p_i)
+                p_hats.append(p_hat)
+                loss = loss + pressure_weight * (p_hat - p_tgt[i]) ** 2
+            losses.append(loss)
+        aux = {"ess": jnp.min(jnp.asarray(esss)),
+               "p_hat": (jnp.asarray(p_hats) if p_hats else None)}
+        return jnp.sum(jnp.asarray(losses)), aux
+
+    vg = jax.jit(jax.value_and_grad(total_loss, has_aux=True))
+
+    params = sims[0].params
+    opt_state = opt.init(params)
+    history = []
+
+    for outer in range(int(n_outer)):
+        bundles = []
+        for sim, obs in zip(sims, observers):
+            sim.params = params
+            frames = sample_frames(sim, n_frames, steps_between, dt,
+                                   equil_steps if outer == 0 else 0)
+            bundles.append(make_bundle(sim.integrator.model, frames,
+                                       params, obs=obs))
+
+        inner_done = 0
+        loss = ess = None
+        for _ in range(int(inner_steps)):
+            (loss, aux), grads = vg(params, bundles)
+            ess = float(aux["ess"])
+            if ess < ess_min:
+                break
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            inner_done += 1
+        row = {"outer": outer, "loss": float(loss), "ess": ess,
+               "inner": inner_done}
+        if aux.get("p_hat") is not None:
+            row["p_hat"] = np.asarray(aux["p_hat"]).tolist()
+        history.append(row)
+        log(f"outer {outer:3d} | loss {float(loss):.6f} | "
+            f"min ESS/F {ess:.3f} | inner steps {inner_done}")
+
+    for sim in sims:
+        sim.params = params
+    return params, history
