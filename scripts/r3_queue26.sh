@@ -31,6 +31,8 @@ run difftre_scratch python scripts/run_difftre.py \
   -pretrain 2000 \
   -logdir results/lj_difftre_scratch_r3
 
+run bench_difftre python benchmarks/bench_difftre.py
+
 run validate_difftre python scripts/validate_lj_best.py \
   -run results/lj_difftre_r3 \
   -candidates best.pkl truth ../lj_difftre_scratch_r3/best.pkl \
