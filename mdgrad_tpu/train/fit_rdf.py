@@ -185,16 +185,13 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
                 capacity_slack=float(sys_params.get("capacity_slack",
                                                     1.6)))
         stack = Stack({"nn": nn_int, "pair": prior_int})
-        # reference chain-mass convention is [Q, Q/N, ...] (md.py:191-193):
-        # secondary masses SHRINK with N, so the chain's own frequency
-        # grows ~sqrt(N) and dt that is stable at 512 atoms blows up the
-        # bath at 4096 (pv 3 -> 147 -> NaN inside 20 steps, size-8 a-Si).
-        # Scale Q with N to keep the secondary masses (and the chain
-        # timescale) N-invariant unless the caller pins Q explicitly.
-        n_atoms_sys = system.get_number_of_atoms()
-        Q = float(sys_params.get("Q") or 50.0 * max(n_atoms_sys / 512, 1.0))
-        # MTK masses (tau in the same units as dt) are the robust choice
-        # for melts / large N -- see integrators.NoseHooverChain
+        # Q=50 is the reference convention (md.py:191-193) and the
+        # validated default at every fitted scale incl. 4096 atoms
+        # (results/water_4k_r3).  For large-N MELT transients the Q/N
+        # link masses cascade-diverge (size-8 a-Si) -- pass
+        # sys_params['nhc_tau'] for canonical N-invariant MTK masses
+        # instead (integrators.NoseHooverChain docstring).
+        Q = float(sys_params.get("Q") or 50.0)
         nhc_tau = sys_params.get("nhc_tau")
         mts_k = int(sys_params.get("mts_inner", 0) or 0)
         if mts_k > 1 and not (sys_params.get("pair_flag")

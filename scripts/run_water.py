@@ -53,6 +53,12 @@ def main():
                         "single-rate): the SchNet force is evaluated "
                         "once per OUTER step (dt*k), the prior every "
                         "dt -- same simulated window per epoch")
+    p.add_argument("-Q", type=float, default=None,
+                   help="NHC bath mass; default scales 50*(N/512) "
+                        "(reference-convention masses shrink as Q/N)")
+    p.add_argument("-nhc_tau", type=float, default=None,
+                   help="MTK thermostat time constant in fs (overrides "
+                        "-Q; canonical N-invariant chain masses)")
     p.add_argument("-nbr_mode", type=str, default="table",
                    help="GNN edge builder: 'table' (dense O(N^2) "
                         "top_k) or 'cells' (O(N) cell list -- the "
@@ -88,6 +94,11 @@ def main():
         "mts_inner": args.mts,
         "frame_skip": args.frame_skip,
     }
+    if args.Q is not None:
+        sys_params["Q"] = args.Q
+    if args.nhc_tau is not None:
+        from mdgrad_tpu import units as _u
+        sys_params["nhc_tau"] = args.nhc_tau * _u.fs
     assignments["rdf_backend"] = args.rdf_backend
     if args.angle:
         assignments.update(angle_weight=args.angle_weight,
