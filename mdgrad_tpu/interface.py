@@ -59,6 +59,21 @@ class Interaction:
     def energy(self, params, xyz, aux, cell=None):
         raise NotImplementedError
 
+    def grow_capacity(self, factor=1.5):
+        """Enlarge fixed neighbor capacities IN PLACE after a surfaced
+        overflow (topology.aux_overflow); returns True if anything grew.
+
+        Capacities are static per-compile shapes, so the caller must
+        rebuild aux via ``aux_init``/``aux_update`` afterwards -- the new
+        shapes make jit retrace, which re-reads the grown capacity (one
+        recompile per regrow).  Drivers use this for
+        ``overflow_policy='regrow'`` (fit_rdf): detection -> grow ->
+        restore the epoch's entry state -> continue, instead of merely
+        skipping corrupt epochs.  Interactions with no fixed capacity
+        (dense mode, bonded terms) return False.
+        """
+        return False
+
 
 class PairPotentials(Interaction):
     """Sum of an isotropic pair potential over pairs within a cutoff.
@@ -129,6 +144,23 @@ class PairPotentials(Interaction):
 
     def init_params(self):
         return self.model.init_params()
+
+    def grow_capacity(self, factor=1.5):
+        if self.mode == "table":
+            new_k = min(int(np.ceil(self.k_max * factor / 8) * 8),
+                        self.n_atoms)
+            if new_k > self.k_max:
+                self.k_max = new_k
+                return True
+            return False
+        if self.mode == "sparse":
+            cap = self.n_atoms * (self.n_atoms - 1) // 2
+            new_c = min(int(np.ceil(self.capacity * factor)), cap)
+            if new_c > self.capacity:
+                self.capacity = new_c
+                return True
+            return False
+        return False  # dense mode has no capacity to overflow
 
     def aux_init(self, xyz, cell=None):
         if self.mode == "dense":
@@ -248,6 +280,8 @@ class GNNPotentials(Interaction):
                                  "ex_pairs/index selections")
             from .ops import cells as _cells
             density = n / float(np.prod(np.diag(np.asarray(self.cell))))
+            self._cells_density = density
+            self._cells_slack = float(capacity_slack)
             self._cell_grid = _cells.make_cell_grid(
                 np.diag(np.asarray(self.cell)), self.build_cutoff,
                 density, slack=capacity_slack)
@@ -277,6 +311,30 @@ class GNNPotentials(Interaction):
 
     def init_params(self):
         return self.gnn.init_params(self.z)
+
+    def grow_capacity(self, factor=1.5):
+        n = int(self.z.shape[0])
+        if self.nbr_mode in ("cells", "table", "topk"):
+            grew = False
+            new_k = min(int(np.ceil(self.k_max * factor / 8) * 8), n)
+            if new_k > self.k_max:
+                self.k_max = new_k
+                grew = True
+            if self.nbr_mode == "cells":
+                # per-cell slot capacity M overflows independently of K
+                from .ops import cells as _cells
+                self._cells_slack *= factor
+                self._cell_grid = _cells.make_cell_grid(
+                    np.diag(np.asarray(self.cell)), self.build_cutoff,
+                    self._cells_density, slack=self._cells_slack)
+                grew = True
+            return grew
+        cap = n * (n - 1) // 2
+        new_c = min(int(np.ceil(self.capacity * factor)), cap)
+        if new_c > self.capacity:
+            self.capacity = new_c
+            return True
+        return False
 
     def aux_init(self, xyz, cell=None):
         if cell is not None and self.nbr_mode != "table":
@@ -423,6 +481,10 @@ class Stack(Interaction):
     def init_params(self):
         return {k: m.init_params() for k, m in self.models.items()}
 
+    def grow_capacity(self, factor=1.5):
+        return any([m.grow_capacity(factor)
+                    for m in self.models.values()])
+
     def aux_init(self, xyz, cell=None):
         if cell is None:
             return {k: m.aux_init(xyz) for k, m in self.models.items()}
@@ -469,6 +531,9 @@ class WithDynamicCell(Interaction):
 
     def init_params(self):
         return self.base.init_params()
+
+    def grow_capacity(self, factor=1.5):
+        return self.base.grow_capacity(factor)
 
     def aux_init(self, xyz, cell=None):
         c = self.cell_len0 if cell is None else jnp.asarray(cell)

@@ -17,10 +17,11 @@ guard below).  Two kinds of observable compose:
 
 * theta-INDEPENDENT per-frame values (RDF histograms): precomputed
   once; a gradient step then costs F *batched* energy evaluations --
-  no scan, no adjoint, no sequential per-step work at all.  On TPU
-  this replaces tau serially-dependent small kernels per gradient
-  with one embarrassingly-parallel F-frame energy batch (vmap),
-  which is exactly the shape the MXU wants.
+  no adjoint, no sequential per-step MD work at all.  On TPU this
+  replaces tau serially-dependent small kernels per gradient with a
+  chunked scan of frame batches (lax.map batch_size=FRAME_CHUNK, each
+  chunk checkpointed), which keeps the MXU fed while bounding HBM by
+  one chunk -- the all-frames vmap variant compile-OOMed in round 3.
 * theta-DEPENDENT per-frame values (the virial pressure): recomputed
   under the current theta and reweighted; still F-parallel.
 
@@ -52,10 +53,30 @@ import jax.numpy as jnp
 # pure reweighting math (jit/vmap/grad-safe)
 # ---------------------------------------------------------------------------
 
-def log_weights(interaction, kT, params, frames, auxs, u_ref):
+# Per-frame maps below are chunked scans (lax.map batch_size) with
+# jax.checkpoint on the body: live intermediates are bounded by ONE
+# chunk of frames, and the backward pass rematerializes per chunk.
+# Round 3 ran these as all-frames vmap inside jit(value_and_grad) and
+# compile-OOMed at workload scale (76.4 GB of f32[48,500,136,128]
+# pairMLP temps vs 15.75 GB HBM, results/r3_logs/difftre_warm.log) --
+# exactly the anti-pattern CLAUDE.md rule 7 forbids for grad-based
+# per-frame observables.
+FRAME_CHUNK = 8
+
+
+def _map_frames(fn, frames, auxs, frame_chunk=FRAME_CHUNK):
+    """lax.map of ``fn(q, aux)`` over the frame axis, chunked and
+    checkpointed (CLAUDE.md rule 7)."""
+    body = jax.checkpoint(lambda qa: fn(qa[0], qa[1]))
+    return jax.lax.map(body, (frames, auxs),
+                       batch_size=min(int(frame_chunk), frames.shape[0]))
+
+
+def log_weights(interaction, kT, params, frames, auxs, u_ref,
+                frame_chunk=FRAME_CHUNK):
     """Unnormalized log importance weights -(U_theta - U_ref)/kT."""
-    u = jax.vmap(lambda q, a: interaction.energy(params, q, a),
-                 in_axes=(0, 0))(frames, auxs)
+    u = _map_frames(lambda q, a: interaction.energy(params, q, a),
+                    frames, auxs, frame_chunk)
     return -(u - u_ref) / kT
 
 
@@ -65,11 +86,13 @@ def ess_fraction(w):
 
 
 def config_pressures(interaction, kT, dim, cell_len, params, frames,
-                     auxs):
+                     auxs, frame_chunk=FRAME_CHUNK):
     """Per-frame configurational pressure with the analytic kinetic
     part: P_i = (N_dof kT + W_i) / (dim V), W_i the strain-derivative
     virial (thermo.pressure with 2 KE -> its canonical average
-    N_dof kT).  Differentiable in ``params``."""
+    N_dof kT).  Differentiable in ``params``; the per-frame jvp-of-grad
+    virial is the round-3 OOM culprit, so it rides the chunked
+    checkpointed map."""
     cell_len = jnp.asarray(cell_len)
     volume = jnp.abs(jnp.prod(cell_len))
     n_dof = frames.shape[-2] * dim
@@ -80,7 +103,7 @@ def config_pressures(interaction, kT, dim, cell_len, params, frames,
                                       cell=(1.0 + eps) * cell_len)
         return -jax.grad(scaled)(0.0)
 
-    w = jax.vmap(virial, in_axes=(0, 0))(frames, auxs)
+    w = _map_frames(virial, frames, auxs, frame_chunk)
     return (n_dof * kT + w) / (dim * volume)
 
 
@@ -115,9 +138,9 @@ def make_bundle(interaction, frames, params_ref, obs=None):
     aux0 = interaction.aux_init(np.asarray(frames[0]))
     auxs = jax.jit(lambda fr: jax.lax.map(
         lambda q: interaction.aux_update(q, aux0), fr))(frames)
-    u_ref = jax.jit(jax.vmap(
-        lambda q, a: interaction.energy(params_ref, q, a),
-        in_axes=(0, 0)))(frames, auxs)
+    u_ref = jax.jit(lambda fr, a: _map_frames(
+        lambda q, ai: interaction.energy(params_ref, q, ai),
+        fr, a))(frames, auxs)
     bundle = {"frames": frames, "auxs": auxs, "u_ref": u_ref}
     if obs is not None:
         bundle["g_frames"] = jax.jit(lambda fr: jax.lax.map(
@@ -192,7 +215,7 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
                 n_outer=20, inner_steps=50, n_frames=40,
                 steps_between=20, equil_steps=200, ess_min=0.9,
                 pressure_targets=None, pressure_weight=0.0,
-                dim=3, log=print):
+                dim=3, frame_chunk=FRAME_CHUNK, log=print):
     """Multi-state DiffTRe: sample with the current params, then take up
     to ``inner_steps`` deterministic gradient steps on the summed
     reweighted loss, resampling when any state's ESS fraction drops
@@ -219,7 +242,8 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
         losses, esss, p_hats = [], [], []
         for i, b in enumerate(bundles):
             lw = log_weights(interactions[i], kT_l[i], params,
-                             b["frames"], b["auxs"], b["u_ref"])
+                             b["frames"], b["auxs"], b["u_ref"],
+                             frame_chunk=frame_chunk)
             w = jax.nn.softmax(lw)
             esss.append(ess_fraction(w))
             g_hat = w @ b["g_frames"]
@@ -227,7 +251,7 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
             if pressure_weight and p_tgt is not None:
                 p_i = config_pressures(interactions[i], kT_l[i], dim,
                                        cl_l[i], params, b["frames"],
-                                       b["auxs"])
+                                       b["auxs"], frame_chunk=frame_chunk)
                 p_hat = jnp.dot(w, p_i)
                 p_hats.append(p_hat)
                 loss = loss + pressure_weight * (p_hat - p_tgt[i]) ** 2

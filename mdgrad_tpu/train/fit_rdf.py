@@ -422,12 +422,22 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         log(f"resumed from checkpoint at epoch {resume['epoch']}")
     # overflow_policy: 'warn' logs and continues; 'skip' additionally
     # drops the epoch's parameter update -- gradients computed from a
-    # neighbor-dropping trajectory are corrupt, not merely noisy
+    # neighbor-dropping trajectory are corrupt, not merely noisy;
+    # 'regrow' also enlarges the overflowed neighbor capacities in
+    # place (Interaction.grow_capacity), rebuilds aux from the epoch's
+    # ENTRY state, and continues -- one recompile per regrow (shapes
+    # are static per-compile), but the fit survives persistent
+    # densification that 'skip' can only skip forever (the failure
+    # that killed the r3 table-mode tpair runs at epoch 97,
+    # results/r3_logs/water_tpair5.log)
     overflow_policy = sys_params.get("overflow_policy", "warn")
+    regrow_factor = float(sys_params.get("regrow_factor", 1.5))
     for epoch in range(start_epoch, n_epochs):
         total_loss = 0.0
         grads_acc = zero_grads
         epoch_overflow = False
+        overflow_js = []
+        entry_states = list(md_states)
         for j, tag in enumerate(all_sys):
             sim = sims[j]
             integ = sim.integrator
@@ -455,6 +465,7 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                 log(f"WARNING: neighbor capacity overflow ({tag}, epoch "
                     f"{epoch}) -- results drop neighbors; raise "
                     "k_max/capacity_slack")
+                overflow_js.append(j)
                 if tag in train_list:
                     epoch_overflow = True
 
@@ -464,9 +475,25 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                 js_log.append(float(JS_rdf(targets[j], g)))
                 grads_acc = tree_add(grads_acc, grads)
 
-        if epoch_overflow and overflow_policy == "skip":
-            log(f"epoch {epoch}: parameter update skipped "
-                "(overflow_policy='skip')")
+        if overflow_js and overflow_policy == "regrow":
+            if epoch_overflow:
+                log(f"epoch {epoch}: parameter update skipped "
+                    "(overflow_policy='regrow')")
+            for j in overflow_js:
+                model = sims[j].integrator.model
+                entry_state, _ = entry_states[j]
+                if model.grow_capacity(regrow_factor):
+                    new_aux = model.aux_init(entry_state.q)
+                    md_states[j] = (entry_state, new_aux)
+                    log(f"regrow: {all_sys[j]} neighbor capacity grown; "
+                        "epoch entry state restored (recompiles once)")
+                else:
+                    log(f"regrow: {all_sys[j]} already at maximum "
+                        "capacity -- overflow is unrecoverable here")
+        if epoch_overflow and overflow_policy in ("skip", "regrow"):
+            if overflow_policy == "skip":
+                log(f"epoch {epoch}: parameter update skipped "
+                    "(overflow_policy='skip')")
         else:
             params, opt_state = apply_update(grads_acc, opt_state, params,
                                              jnp.asarray(total_loss))
