@@ -206,7 +206,7 @@ def _soft_rdf_frames(frames, cell_len, offsets, widths, cut_b, vol_bins, V):
 
 def make_stack_multistate_fit(integ, dt, n_steps, nbins, rdf_range,
                               mesh=None, frame_skip=1, loss_type="shell",
-                              dim=3):
+                              dim=3, kT_to_params=None):
     """Multi-state epoch objective for ANY interaction through the library
     stepper -- the flagship SchNet Stack included.
 
@@ -237,6 +237,14 @@ def make_stack_multistate_fit(integ, dt, n_steps, nbins, rdf_range,
 
     Gradient of ``total_loss`` == the serial loop's summed gradients
     (tests/test_multistate.py::test_gnn_stack_multistate_matches_serial).
+
+    ``kT_to_params``: optional ``(params, kT) -> params`` graft applied
+    per state INSIDE the vmapped body, for models whose temperature
+    lives in the params pytree (TPairPotentials' ``params['nn']['kT']``
+    leaf, reference potentials.py:208-217 / interface.py:139-215).  The
+    replicated params thus carry each state's own kT -- the vmapped
+    counterpart of fit_rdf's serial ``kT_override``; fitting drivers
+    freeze the kT leaf so no gradient flows into it.
     """
     start, end = rdf_range
     offsets = jnp.linspace(start, end, nbins)
@@ -264,6 +272,8 @@ def make_stack_multistate_fit(integ, dt, n_steps, nbins, rdf_range,
                       skip_first_refresh=can_prime)
 
     def one_state(params, state, cell_len, kT, target, rho):
+        if kT_to_params is not None:
+            params = kT_to_params(params, kT)
         aux = model.aux_init(state.q, cell=cell_len)
         if can_prime:
             state, aux = integ.prime_state(params, state, aux,
@@ -325,7 +335,8 @@ def make_stack_multistate_fit(integ, dt, n_steps, nbins, rdf_range,
 
 def make_stack_multistate_train_step(integ, dt, n_steps, nbins, rdf_range,
                                      opt, mesh=None, frame_skip=1,
-                                     loss_type="shell", dim=3):
+                                     loss_type="shell", dim=3,
+                                     kT_to_params=None):
     """jitted ``train_step(params, opt_state, states, cell_lens, kTs,
     targets, rhos) -> (loss, params', opt_state', (losses, gs, finals,
     overflow))``: one sharded multi-state epoch + one optax update on the
@@ -334,7 +345,7 @@ def make_stack_multistate_train_step(integ, dt, n_steps, nbins, rdf_range,
     (fit_rdf_gnn.py:388-410)."""
     loss_fn = make_stack_multistate_fit(integ, dt, n_steps, nbins,
                                         rdf_range, mesh, frame_skip,
-                                        loss_type, dim)
+                                        loss_type, dim, kT_to_params)
 
     def train_step(params, opt_state, states, cell_lens, kTs, targets,
                    rhos):

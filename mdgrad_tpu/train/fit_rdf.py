@@ -511,7 +511,17 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     test_nbins = sys_params.get("test_nbins", 800)
     for j, tag in enumerate(all_sys):
         sim = sims[j]
-        sim.params = params
+        p_infer = params
+        if sys_params.get("tpair_flag"):
+            # evaluate u(r, kT) at THIS tag's temperature -- the shared
+            # params carry one kT leaf (the first tag's); training uses
+            # kT_override per state, so inference must too
+            p_infer = {**params,
+                       "nn": {**params["nn"],
+                              "kT": jnp.asarray(
+                                  registry_T_kelvin(registry[tag])
+                                  * units.kB)}}
+        sim.params = p_infer
         sim.state, sim.aux = md_states[j]
         # include the last training frame and skip non-finite rollout
         # frames: diverged inference runs must not poison the average (the

@@ -59,6 +59,12 @@ def main():
     p.add_argument("-nhc_tau", type=float, default=None,
                    help="MTK thermostat time constant in fs (overrides "
                         "-Q; canonical N-invariant chain masses)")
+    p.add_argument("-overflow_policy", type=str, default="warn",
+                   help="neighbor-capacity overflow handling: 'warn', "
+                        "'skip' (drop the epoch's update), or 'regrow' "
+                        "(grow capacity, restore the epoch entry state, "
+                        "continue -- survives learned densification)")
+    p.add_argument("-regrow_factor", type=float, default=1.5)
     p.add_argument("-nbr_mode", type=str, default="table",
                    help="GNN edge builder: 'table' (dense O(N^2) "
                         "top_k) or 'cells' (O(N) cell list -- the "
@@ -93,6 +99,8 @@ def main():
         "nbr_mode": args.nbr_mode,
         "mts_inner": args.mts,
         "frame_skip": args.frame_skip,
+        "overflow_policy": args.overflow_policy,
+        "regrow_factor": args.regrow_factor,
     }
     if args.Q is not None:
         sys_params["Q"] = args.Q

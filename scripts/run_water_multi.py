@@ -20,32 +20,56 @@ def main():
     p.add_argument("-data", type=str, nargs="+",
                    default=["H20_298K_redd", "H20_308K_redd",
                             "H20_338K_redd"])
+    p.add_argument("-val", type=str, nargs="+", default=None,
+                   help="held-out state points: evaluated at inference "
+                        "with the trained params, never trained on")
     p.add_argument("-nepochs", type=int, default=500)
     p.add_argument("-nsim", type=int, default=10)
     p.add_argument("-size", type=int, default=4)
     p.add_argument("-frame_skip", type=int, default=20)
-    p.add_argument("-lr", type=float, default=0.0001839)
+    p.add_argument("-lr", type=float, default=None)
     p.add_argument("-compute_dtype", type=str, default="float32")
+    p.add_argument("--tpair", action="store_true",
+                   help="temperature-transferable TPairMLP u(r, kT) -- "
+                        "the model whose fit IS a multi-temperature fit "
+                        "(per-state kT grafted inside the vmapped body)")
+    p.add_argument("-capacity_slack", type=float, default=2.0)
+    p.add_argument("-pretrain", type=int, default=1000)
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
-    # GNN best params (reference run_water.py:32-46)
-    assignments = {
-        "cutoff": 6.0, "epsilon": 0.010637550996566496,
-        "gaussian_width": 0.195, "lr": args.lr,
-        "n_atom_basis": "low", "n_filters": "low", "n_convolutions": 2,
-        "nbins": 109, "opt_freq": 52, "sigma": 2.61227614490785,
-        "compute_dtype": args.compute_dtype,
-    }
+    if args.tpair:
+        # pair-MLP best params (reference run_water.py:55-56); nbins 109
+        # keeps the multistate dense soft-histogram in HBM (the serial
+        # driver's 400-bin loss streams through the Pallas RDF kernel,
+        # which the stacked engine does not use); inference stays 800-bin
+        assignments = {
+            "cutoff": 6.0, "epsilon": 1.8245160642515632,
+            "gaussian_width": 0.15, "lr": args.lr or 0.0006548601438181719,
+            "n_layers": 3, "n_width": 115, "nbins": 109,
+            "nonlinear": "ELU", "opt_freq": 192, "power": 12,
+            "sigma": 1.68191635809129,
+        }
+    else:
+        # GNN best params (reference run_water.py:32-46)
+        assignments = {
+            "cutoff": 6.0, "epsilon": 0.010637550996566496,
+            "gaussian_width": 0.195, "lr": args.lr or 0.0001839,
+            "n_atom_basis": "low", "n_filters": "low", "n_convolutions": 2,
+            "nbins": 109, "opt_freq": 52, "sigma": 2.61227614490785,
+            "compute_dtype": args.compute_dtype,
+        }
     sys_params = {
         "dt": 0.5, "n_epochs": args.nepochs, "n_sim": args.nsim,
-        "data": args.data, "size": args.size,
+        "data": args.data, "val": args.val, "size": args.size,
         "frame_skip": args.frame_skip, "topology_update_freq": 1,
+        "tpair_flag": args.tpair, "capacity_slack": args.capacity_slack,
+        "pretrain_iters": args.pretrain,
     }
     if args.dry_run:
         assignments["opt_freq"] = 25
         sys_params.update(n_epochs=2, n_sim=1, size=2, frame_skip=5,
-                          test_nbins=100)
+                          test_nbins=100, pretrain_iters=50)
 
     from mdgrad_tpu.train.fit_rdf_multi import fit_rdf_multistate
     out = fit_rdf_multistate(assignments, sys_params,
