@@ -13,8 +13,11 @@ entries are *discovered* by scanning the data directory for
 every shipped state point is available; experimental entries carry their
 physical metadata (density, temperature, mass, r-range) explicitly below.
 
-Data files are read from ``$MDGRAD_DATA_DIR`` (default:
-/root/reference/data, the reference's bundled targets).
+Data files are read from ``$MDGRAD_DATA_DIR``; the default is the
+framework's OWN vendored copy of the targets (``mdgrad_tpu/data/
+targets/``, mirroring the reference's in-repo ``data/`` bundle,
+/root/reference/scripts/data.py:59,774) so nothing at runtime depends
+on the reference checkout being mounted.
 """
 
 import os
@@ -26,7 +29,10 @@ import numpy as np
 from .. import units
 from ..observables import generate_vol_bins
 
-DATA_DIR = os.environ.get("MDGRAD_DATA_DIR", "/root/reference/data")
+_VENDORED = os.path.join(os.path.dirname(__file__), "targets")
+DATA_DIR = os.environ.get(
+    "MDGRAD_DATA_DIR",
+    _VENDORED if os.path.isdir(_VENDORED) else "/root/reference/data")
 
 
 def get_unit_len(rho, mass, N_unitcell):

@@ -34,8 +34,12 @@ TAU = 10 * FS_TO_EV
 W0 = 2.4
 TP = 3 * TAU
 
+_VENDORED_ISOM = os.path.join(os.path.dirname(__file__), "..", "data",
+                              "targets", "isom")
 ISOM_DATA_DIR = os.environ.get(
-    "MDGRAD_ISOM_DIR", "/root/reference/data/isom")
+    "MDGRAD_ISOM_DIR",
+    _VENDORED_ISOM if os.path.isdir(_VENDORED_ISOM)
+    else "/root/reference/data/isom")
 
 
 def make_quants(data_dir=None):
