@@ -26,6 +26,7 @@ from .interface import (PairPotentials, TPairPotentials, GNNPotentials,
                         Electrostatics, BondPotentials, AnglePotentials,
                         Stack)
 from .md import (NVE, NoseHooverChain, MTSNoseHooverChain, NPTBerendsenNHC,
-                 Langevin, Simulation, Simulations, Isomerization)
+                 NPTMTKNHC, Langevin, Simulation, Simulations,
+                 Isomerization)
 
 __version__ = "0.1.0"

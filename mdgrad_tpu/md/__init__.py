@@ -1,11 +1,13 @@
 from .integrators import (NVE, NoseHooverChain, MTSNoseHooverChain,
-                          NPTBerendsenNHC, Langevin, NVEState, NVTState)
+                          NPTBerendsenNHC, NPTMTKNHC, Langevin,
+                          NVEState, NVTState)
 from .simulation import Simulation, Simulations
 from .adjoint import make_odeint
 from .tinydiffeq import odeint
 from .isomerization import Isomerization
 
-__all__ = ["NVE", "NoseHooverChain", "MTSNoseHooverChain", "Langevin",
+__all__ = ["NVE", "NoseHooverChain", "MTSNoseHooverChain",
+           "NPTMTKNHC", "Langevin",
            "NVEState", "NVTState",
            "Simulation", "Simulations", "make_odeint", "odeint",
            "Isomerization"]

@@ -71,6 +71,20 @@ class NPTStateF(typing.NamedTuple):
     fv: jnp.ndarray
 
 
+class NPTMTKStateF(typing.NamedTuple):
+    """MTK NPT state: NHC thermostat + barostat MOMENTUM ``peps``
+    (log-volume conjugate) -- the extended-Lagrangian variable Berendsen
+    weak coupling lacks; with it the sampled distribution is the true
+    isothermal-isobaric ensemble."""
+    v: jnp.ndarray
+    q: jnp.ndarray
+    pv: jnp.ndarray
+    cell: jnp.ndarray  # (3,) diagonal cell lengths
+    peps: jnp.ndarray  # () barostat momentum
+    f: jnp.ndarray
+    fv: jnp.ndarray
+
+
 def rk4_step(derivs_fn, state, t, dt):
     """RK4 "3/8 rule" step on an arbitrary state pytree
     (parity: reference tinydiffeq.py:97-103)."""
@@ -507,6 +521,13 @@ class NPTBerendsenNHC(NoseHooverChain):
     weak-coupling barostat (isotropic cell rescaling toward a target
     virial pressure).
 
+    ENSEMBLE CAVEAT: weak coupling holds the MEAN pressure/density but
+    famously suppresses volume fluctuations -- the sampled distribution
+    is not the true isothermal-isobaric ensemble, so fluctuation-derived
+    quantities (compressibility from Var(V)) come out wrong.  Use
+    :class:`NPTMTKNHC` when the ensemble matters; Berendsen remains the
+    robust choice for driving a box to its equilibrium density.
+
     New capability beyond the reference: torchmd/mdgrad has no
     constant-pressure path at all (its ``Pressure`` observable is broken
     and unused, /root/reference/torchmd/thermo.py:17-54, and the cell is
@@ -615,3 +636,153 @@ class NPTBerendsenNHC(NoseHooverChain):
         mu = jnp.clip(mu, 1.0 - self.max_rescale, 1.0 + self.max_rescale)
         scale = 1.0 + self._scale_mask * (mu - 1.0)
         return new._replace(q=new.q * scale, cell=state.cell * scale)
+
+
+class NPTMTKNHC(NoseHooverChain):
+    """Ensemble-correct constant-pressure MD: Martyna-Tobias-Klein
+    barostat (J. Chem. Phys. 101, 4177 (1994), isotropic cell) coupled
+    to the Nose-Hoover chain thermostat.
+
+    Unlike :class:`NPTBerendsenNHC` (weak coupling: right mean density,
+    suppressed volume fluctuations), the MTK barostat carries an
+    extended-system MOMENTUM ``peps`` conjugate to the log-volume, so
+    the stationary distribution is the true isothermal-isobaric
+    ensemble -- Var(V) = kT V kappa_T holds
+    (tests/test_npt.py::test_mtk_ideal_gas_volume_fluctuations uses the
+    analytic ideal-gas kappa_T = 1/P as the oracle).  The natural
+    companion of the MTK thermostat masses (``tau=`` on the NHC): the
+    barostat mass is W = (N_dof + dim) kT tau_p^2.
+
+    EOM (isotropic; alpha = 1 + dim/N_dof; barostat drag and KE feed
+    ride the FIRST thermostat link):
+
+        dq/dt    = v + (peps/W) q
+        dcell/dt = (peps/W) cell
+        dv/dt    = f/m - (alpha peps/W + pv0/Q0) v
+        dpeps/dt = dim V (P_int - P0) + (dim/N_dof) 2 KE - (pv0/Q0) peps
+        dpv0/dt  = (2KE - N_dof kT) + (peps^2/W - kT) - pv0 pv1/Q1
+        (chain links 1.. as in the plain NHC)
+
+    P_int is the instantaneous virial pressure (thermo.pressure: strain
+    derivative of the energy through the dynamic ``cell=`` override) --
+    one extra grad-eval per half-kick.  Integration is the library's
+    half-kick / drift / half-kick pattern with an exponential volume
+    drift ``s = exp((peps/W) dt)`` applied to q and cell; the
+    end-of-step force is cached like every other stepper.  The whole
+    barostatted trajectory (including the equilibrium density) stays
+    differentiable in the potential parameters.
+
+    New capability vs the reference: torchmd/mdgrad has no
+    constant-pressure path at all (its ``Pressure`` observable is broken
+    and unused, /root/reference/torchmd/thermo.py:17-54).
+    """
+
+    state_keys = ["velocities", "positions", "baths", "cell", "peps"]
+
+    def __init__(self, potentials, system, T, P, tau_p=None, **kw):
+        from ..interface import WithDynamicCell
+        if kw.get("force_cache") is False:
+            raise ValueError("NPTMTKNHC requires force_cache")
+        cell = np.asarray(system.get_cell())
+        cell_len = np.diag(cell) if cell.ndim == 2 else cell
+        if not isinstance(potentials, WithDynamicCell):
+            potentials = WithDynamicCell(potentials, cell_len)
+        super().__init__(potentials, system, T, **kw)
+        self.P = P
+        kT0 = T * units.kB
+        # barostat time constant: ~1000 dt unless given (same guidance
+        # as Berendsen tau_p; resolved at step time when None)
+        self.tau_p = None if tau_p is None else float(tau_p)
+        self.cell_len0 = jnp.asarray(cell_len, dtype=jnp.float32)
+        self._kT0 = kT0
+        self._scale_mask = jnp.asarray(
+            [1.0] * self.dim + [0.0] * (3 - self.dim))
+
+    def default_ctrl(self):
+        return {"kT": jnp.asarray(self.T * units.kB),
+                "P0": jnp.asarray(self.P)}
+
+    def update_P(self, P):
+        self.P = P
+        return self.default_ctrl()
+
+    def initial_state(self, wrap=True):
+        v = jnp.asarray(self.system.get_velocities())
+        q = jnp.asarray(self.system.get_positions(wrap=wrap))
+        return NPTMTKStateF(v=v, q=q, pv=jnp.zeros(self.num_chains),
+                            cell=self.cell_len0, peps=jnp.zeros(()),
+                            f=jnp.zeros_like(q), fv=jnp.zeros(()))
+
+    def aux_update_state(self, state, aux):
+        return self.model.aux_update(state.q, aux, cell=state.cell)
+
+    def prime_state(self, params, state, aux, fresh_aux=False):
+        if not fresh_aux:
+            aux = self.model.aux_update(state.q, aux, cell=state.cell)
+        f = self.force(params, state.q, (state.cell, aux[1]))
+        return state._replace(f=f, fv=jnp.ones(())), aux
+
+    def _W(self, dt):
+        tau_p = (1000.0 * dt) if self.tau_p is None else self.tau_p
+        return (self.n_dof + self.dim) * self._kT0 * tau_p ** 2
+
+    def step(self, params, state, aux, ctrl, t, dt, method=None,
+             primed=False):
+        method = method or self.default_method
+        if method not in ("verlet", "NH_verlet"):
+            raise ValueError("NPTMTKNHC supports the NH_verlet stepper "
+                             "only")
+        from .. import thermo
+        kT, P0 = ctrl["kT"], ctrl["P0"]
+        m = self.masses
+        d = self.dim
+        W = self._W(dt)
+        alpha = 1.0 + d / self.n_dof
+        aux_in = aux[1]
+
+        def derivs(s, f):
+            # self.masses is already (N, 1)
+            ke2 = (s.v ** 2 * m).sum()
+            vol = jnp.abs(jnp.prod(jnp.where(self._scale_mask > 0.0,
+                                             s.cell, 1.0)))
+            p_int = thermo.pressure(self.model, params, s.q,
+                                    (s.cell, aux_in), s.v, m, s.cell,
+                                    dim=d)
+            dv = (f / m
+                  - (alpha * s.peps / W + s.pv[0] / self.Q[0]) * s.v)
+            dpeps = (d * vol * (p_int - P0) + (d / self.n_dof) * ke2
+                     - s.pv[0] / self.Q[0] * s.peps)
+            pv = s.pv
+            dpv0 = ((ke2 - self.n_dof * kT) + (s.peps ** 2 / W - kT)
+                    - pv[0] * pv[1] / self.Q[1])
+            dpv_mid = ((pv[:-2] ** 2 / self.Q[:-2] - kT)
+                       - pv[2:] * pv[1:-1] / self.Q[2:])
+            dpv_last = pv[-2] ** 2 / self.Q[-2] - kT
+            dpv = jnp.concatenate([dpv0[None], dpv_mid, dpv_last[None]])
+            return dv, dpv, dpeps
+
+        if primed:
+            f0 = state.f
+        else:
+            f0 = jax.lax.cond(
+                state.fv > 0, lambda: state.f,
+                lambda: self.force(params, state.q,
+                                   (state.cell, aux_in)))
+        dv0, dpv0, dpeps0 = derivs(state, f0)
+        v_half = state.v + 0.5 * dt * dv0
+        pv_half = state.pv + 0.5 * dt * dpv0
+        peps_half = state.peps + 0.5 * dt * dpeps0
+        # exponential volume drift + position drift
+        s_fac = jnp.exp((peps_half / W) * dt)
+        scale = 1.0 + self._scale_mask * (s_fac - 1.0)
+        q_new = state.q * scale + v_half * dt
+        cell_new = state.cell * scale
+        mid = state._replace(v=v_half, q=q_new, pv=pv_half,
+                             peps=peps_half, cell=cell_new)
+        f1 = self.force(params, q_new, (cell_new, aux_in))
+        dv1, dpv1, dpeps1 = derivs(mid, f1)
+        return NPTMTKStateF(v=v_half + 0.5 * dt * dv1, q=q_new,
+                            pv=pv_half + 0.5 * dt * dpv1,
+                            cell=cell_new,
+                            peps=peps_half + 0.5 * dt * dpeps1,
+                            f=f1, fv=jnp.ones(()))

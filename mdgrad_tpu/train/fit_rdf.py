@@ -165,7 +165,9 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
         T_kelvin = registry_T_kelvin(entry)
         if str(sys_params.get("anneal_flag")) == "True":
             system.set_temperature(assignments["start_T"], rng=rng)
-        prior_int = PairPotentials(system, prior, cutoff=cutoff)
+        prior_int = PairPotentials(system, prior, cutoff=cutoff,
+                                   mode=sys_params.get("prior_mode",
+                                                       "auto"))
         # MLP pair models default to the (N, K) table: dense mode's
         # (N, N, hidden) activations are HBM-bound at fit scale
         # (~13x the bytes; tpair epochs ran 28 s dense vs the table's

@@ -157,6 +157,18 @@ def main():
 
     # ---- 2. supervised training ---------------------------------------
     train, val, test = split_train_validation_test(ds, 0.15, 0.15, seed=1)
+    # energy reference shift (train-split mean): forces are invariant to
+    # the energy origin and the energy loss weight is small, so the
+    # network cannot usefully learn the dataset's absolute offset -- the
+    # r3 run's test energy MAE 10.79 ~= RMSE 10.81 was exactly that
+    # constant bias (VERDICT r3 weak #8).  Train/evaluate against
+    # origin-shifted labels; predictions at use time are pred + e_shift.
+    e_shift = float(np.mean([float(e) for e in train.props["energy"]]))
+    for subset in (train, val, test):
+        subset.props["energy"] = [np.float32(float(e) - e_shift)
+                                  for e in subset.props["energy"]]
+    print(f"energy reference shift (train mean): {e_shift:.4f} "
+          f"({e_shift / n_atoms:.4f}/atom)")
     train_loader = DataLoader(train, batch_size=args.batch_size, seed=1)
     val_loader = DataLoader(val, batch_size=args.batch_size,
                             shuffle=False)
@@ -177,7 +189,7 @@ def main():
                           patience=args.patience)
     trained = trainer.train()
     save_model(os.path.join(args.logdir, "model.pkl"), "SchNet",
-               model_params, trained)
+               {**model_params, "energy_shift": e_shift}, trained)
 
     metrics = evaluate(model.batched_predict, trained, test_loader)
     print("test metrics:", metrics)
@@ -215,6 +227,7 @@ def main():
                header="r,g_truth,g_gnn")
     result = {"test_metrics": {k: {m: float(v) for m, v in d.items()}
                                for k, d in metrics.items()},
+              "energy_shift": e_shift,
               "rdf_mse_vs_truth": rdf_mse,
               "n_frames": len(ds), "n_atoms": n_atoms}
     with open(os.path.join(args.logdir, "result.json"), "w") as f:

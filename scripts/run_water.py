@@ -59,6 +59,16 @@ def main():
     p.add_argument("-nhc_tau", type=float, default=None,
                    help="MTK thermostat time constant in fs (overrides "
                         "-Q; canonical N-invariant chain masses)")
+    p.add_argument("-lr_override", type=float, default=None,
+                   help="learning-rate override (0 freezes training: "
+                        "pure-MD stability probe)")
+    p.add_argument("-prior_mode", type=str, default="auto",
+                   help="prior PairPotentials mode (dense|sparse|table|"
+                        "auto); auto flips dense->sparse at N^2 > 2^20")
+    p.add_argument("-dt_override", type=float, default=None,
+                   help="base/inner time step in fs (default 0.5, the "
+                        "reference run_water.py:59 convention); with "
+                        "-mts k the OUTER step is k x this")
     p.add_argument("-overflow_policy", type=str, default="warn",
                    help="neighbor-capacity overflow handling: 'warn', "
                         "'skip' (drop the epoch's update), or 'regrow' "
@@ -91,7 +101,8 @@ def main():
             "nbins": 109, "opt_freq": 52, "sigma": 2.61227614490785,
         }
     sys_params = {
-        "dt": 0.5, "n_epochs": args.nepochs, "n_sim": args.nsim,
+        "dt": args.dt_override or 0.5,
+        "n_epochs": args.nepochs, "n_sim": args.nsim,
         "data": args.data, "val": args.val, "size": args.size,
         "anneal_flag": "False", "pair_flag": args.pair,
         "tpair_flag": args.tpair, "topology_update_freq": 1,
@@ -101,7 +112,10 @@ def main():
         "frame_skip": args.frame_skip,
         "overflow_policy": args.overflow_policy,
         "regrow_factor": args.regrow_factor,
+        "prior_mode": args.prior_mode,
     }
+    if args.lr_override is not None:
+        assignments["lr"] = args.lr_override
     if args.Q is not None:
         sys_params["Q"] = args.Q
     if args.nhc_tau is not None:

