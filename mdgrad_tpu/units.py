@@ -54,3 +54,9 @@ BOHR_RADIUS = 0.529177
 
 # g/cm^3 -> amu/Angstrom^3 (used for density -> lattice constant)
 GCM3_TO_AMU_ANG3 = 1e-24 / (_amu * 1e3)  # = 0.6022140857...
+
+# pressure: 1 atm in eV / Angstrom^3 (101325 Pa * 6.241509e-12
+# eV A^-3 / Pa) -- converts the registry's `pressure` metadata (atm,
+# reference scripts/data.py:774+) into the internal energy/length units
+# for NPT targets
+atm = 101325.0 * 6.241509074460763e-12

@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Constant-pressure (NPT) density fitting: the first workload that
+consumes the registry's ``pressure`` metadata.
+
+The equilibrium density a potential produces under a target pressure is
+a DIFFERENTIABLE function of its parameters here, because the MTK
+barostat (md/integrators.NPTMTKNHC) carries the cell as a state
+variable: loss = ((rho_NPT - rho_target)/rho_target)^2, gradients flow
+through the whole barostatted trajectory.
+
+Two modes:
+
+* reduced-units LJ tags (e.g. ``lj_0.845_1.2``): the ground-truth
+  potential defines P_target at the registry density via a short NVT
+  run; a deliberately-wrong LJ model is then fitted so its OWN NPT
+  density at (T, P_target) returns to the registry density.  Fully
+  self-contained EOS-calibration demo.
+* physical-units water tags (e.g. ``H20_298K_redd``): P0 = the
+  registry's ``pressure`` field (atm -> eV/A^3 via units.atm), model =
+  SchNet + ExcludedVolume prior warm-started from an RDF-fit checkpoint
+  (-init_pkl); the fit calibrates the GNN's EOS so its 1-atm density
+  matches experiment -- a correction the RDF target alone cannot pin
+  (reference foil: the broken, unused Pressure observable,
+  /root/reference/torchmd/thermo.py:17-54).
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-logdir", type=str, default="outputs/npt_fit")
+    p.add_argument("-data", type=str, default="lj_0.845_1.2")
+    p.add_argument("-size", type=int, default=3)
+    p.add_argument("-nepochs", type=int, default=150)
+    p.add_argument("-opt_freq", type=int, default=60)
+    p.add_argument("-lr", type=float, default=5e-3)
+    p.add_argument("-nhc_tau", type=float, default=None,
+                   help="thermostat time constant (time units; default "
+                        "40*dt)")
+    p.add_argument("-tau_p", type=float, default=None,
+                   help="barostat time constant (default 100*dt)")
+    p.add_argument("-init_pkl", type=str, default=None,
+                   help="warm-start params (water mode: fit checkpoint)")
+    p.add_argument("-eps0", type=float, default=0.7)
+    p.add_argument("-sigma0", type=float, default=0.92)
+    p.add_argument("--dry_run", action="store_true")
+    args = p.parse_args()
+    if args.dry_run:
+        args.nepochs, args.opt_freq, args.size = 8, 20, 2
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mdgrad_tpu import potentials as pot_zoo, units, thermo
+    from mdgrad_tpu.interface import PairPotentials, GNNPotentials, Stack
+    from mdgrad_tpu.md import (NoseHooverChain, NPTMTKNHC, Simulation)
+    from mdgrad_tpu.train.fit_rdf import get_system, registry_T_kelvin
+    from mdgrad_tpu.data import exp_rdf_data_dict, pair_data_dict
+
+    os.makedirs(args.logdir, exist_ok=True)
+    registry = dict(exp_rdf_data_dict)
+    registry.update({k: v for k, v in pair_data_dict.items()
+                     if k not in registry})
+    entry = registry[args.data]
+    reduced = bool(entry.get("reduced_units"))
+    rng = np.random.default_rng(0)
+    system = get_system(args.data, args.size, registry, rng=rng)
+    n = system.get_number_of_atoms()
+    rho_target = n / system.get_volume()     # number density at registry rho
+    T_kelvin = registry_T_kelvin(entry)
+    dt = entry.get("dt", 0.01) if reduced else 0.5 * units.fs
+    tau_p = args.tau_p or 100.0 * dt
+    nhc_tau = args.nhc_tau or 40.0 * dt
+
+    with open(os.path.join(args.logdir, "paramset.json"), "w") as f:
+        json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=2)
+
+    if reduced:
+        # P_target from the ground-truth potential at the registry density
+        from mdgrad_tpu.train.fit_rdf_pair import resolve_target_pot
+        truth = resolve_target_pot(entry["target_pot"])
+        truth_int = PairPotentials(system, truth, cutoff=2.5)
+        tp = truth.init_params()
+        nvt = NoseHooverChain(truth_int, system, T=T_kelvin, Q=50.0,
+                              num_chains=5, adjoint=False)
+        nvt_sim = Simulation(system, nvt)
+        for _ in range(4):
+            nvt_sim.simulate(200, dt=dt, frequency=200)
+        p_fn = jax.jit(jax.vmap(lambda q, v: thermo.pressure(
+            truth_int, tp, q, (), v, system.get_masses(),
+            system.get_cell(), dim=3)))
+        ps = []
+        for _ in range(4):
+            traj = nvt_sim.simulate(200, dt=dt, frequency=200)
+            ps.append(np.asarray(p_fn(traj.q[::20], traj.v[::20])))
+        P0 = float(np.mean(np.concatenate(ps)))
+        print(f"P_target({args.data}) = {P0:.4f} (truth NVT at rho="
+              f"{rho_target:.4f})", flush=True)
+        model = pot_zoo.LennardJones(sigma=args.sigma0,
+                                     epsilon=args.eps0)
+        model_int = PairPotentials(system, model, cutoff=2.5,
+                                   mode="dense")
+        # restart from the EQUILIBRATED truth configuration
+        system.set_positions(np.asarray(nvt_sim.state.q))
+        system.set_velocities(np.asarray(nvt_sim.state.v))
+        label_train = lambda path, _: "train"
+    else:
+        P0 = float(entry.get("pressure", 1.0)) * units.atm
+        print(f"P0 = {entry.get('pressure', 1.0)} atm = {P0:.3e} eV/A^3",
+              flush=True)
+        from mdgrad_tpu.nn import SchNet
+        gnn = SchNet({"n_atom_basis": 128, "n_filters": 128,
+                      "n_gaussians": 40, "n_convolutions": 2,
+                      "cutoff": 6.0, "compute_dtype": "bf16"})
+        prior = pot_zoo.ExcludedVolume(epsilon=0.010637550996566496,
+                                       sigma=2.61227614490785, power=12)
+        model_int = Stack({
+            "nn": GNNPotentials(system, gnn, cutoff=6.0,
+                                nbr_mode="table", capacity_slack=1.6),
+            "pair": PairPotentials(system, prior, cutoff=6.0),
+        })
+
+        def label_train(path, _):
+            keys = [getattr(pp, "key", getattr(pp, "name", ""))
+                    for pp in path]
+            return "train" if keys and keys[0] == "nn" else "frozen"
+
+    integ = NPTMTKNHC(model_int, system, T=T_kelvin, P=P0,
+                      tau=nhc_tau, tau_p=tau_p, num_chains=5,
+                      adjoint=True)
+    sim = Simulation(system, integ)
+    params = sim.params
+    if args.init_pkl:
+        with open(args.init_pkl, "rb") as f:
+            blob = pickle.load(f)
+        src = blob.get("params", blob)
+        params = jax.device_put(src)
+        sim.params = params
+        print(f"warm start from {args.init_pkl}", flush=True)
+
+    tau = args.opt_freq
+    ode = sim.epoch_fn(dt, tau)
+    ctrl = integ.default_ctrl()
+    rho_t = jnp.asarray(rho_target)
+
+    def loss_fn(params, state, aux):
+        traj, final_aux = ode(params, state, aux, ctrl)
+        # mean density over the epoch's second half (volume relaxes)
+        vols = jnp.prod(traj.cell[tau // 2:], axis=-1)
+        rho_hat = n / vols.mean()
+        loss = ((rho_hat - rho_t) / rho_t) ** 2
+        last = jax.tree_util.tree_map(lambda x: x[-1], traj)
+        return loss, (rho_hat, last, final_aux)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    labels = jax.tree_util.tree_map_with_path(label_train, params)
+    opt = optax.multi_transform(
+        {"train": optax.chain(optax.clip_by_global_norm(1.0),
+                              optax.adam(args.lr)),
+         "frozen": optax.set_to_zero()}, labels)
+    opt_state = opt.init(params)
+
+    state, aux = sim.initial_state()
+    rho_log, loss_log = [], []
+    for epoch in range(args.nepochs):
+        (loss, (rho_hat, last, final_aux)), grads = vg(params, state, aux)
+        if not bool(jnp.isfinite(last.q).all()):
+            print(f"NaN bailout at epoch {epoch}", flush=True)
+            break
+        state = jax.lax.stop_gradient(last)
+        aux = final_aux
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        rho_log.append(float(rho_hat))
+        loss_log.append(float(loss))
+        if epoch % 5 == 0 or epoch == args.nepochs - 1:
+            extra = ""
+            if reduced:
+                extra = (f" | eps {float(params['epsilon']):.4f}"
+                         f" sigma {float(params['sigma']):.4f}")
+            print(f"epoch {epoch:4d} | loss {float(loss):.6f} | "
+                  f"rho {float(rho_hat):.4f} vs {rho_target:.4f}{extra}",
+                  flush=True)
+
+    final_rho = float(np.mean(rho_log[-10:])) if rho_log else float("nan")
+    out = {"rho_target": float(rho_target), "rho_final": final_rho,
+           "rho_err_pct": 100.0 * abs(final_rho - rho_target) / rho_target,
+           "P0": float(P0), "rho_log": rho_log, "loss_log": loss_log}
+    if reduced:
+        out["params"] = {k: float(v) for k, v in params.items()}
+    else:
+        with open(os.path.join(args.logdir, "best.pkl"), "wb") as f:
+            pickle.dump({"params": jax.device_get(params)}, f)
+    with open(os.path.join(args.logdir, "result.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"final NPT density {final_rho:.4f} vs target "
+          f"{rho_target:.4f} ({out['rho_err_pct']:.2f}%)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
