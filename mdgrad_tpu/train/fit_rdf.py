@@ -311,11 +311,26 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     ckpt = FitCheckpointer(model_path, every=sys_params.get("ckpt_every", 10))
     resume = ckpt.restore()
 
+    # params-only warm start from a saved fit checkpoint / best.pkl
+    # (mirrors fit_rdf_pair's init_pkl): the optimizer and MD states
+    # start fresh, only the learned subtree is grafted -- e.g. seed an
+    # MTS fine-tune from a converged single-rate checkpoint
+    init_pkl = sys_params.get("init_pkl")
+    if resume is None and init_pkl:
+        import pickle
+        with open(init_pkl, "rb") as f:
+            blob = pickle.load(f)
+        init_p = blob["params"] if isinstance(blob, dict) and \
+            "params" in blob else blob
+        params["nn"] = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, init_p["nn"]))
+        log(f"warm start (nn subtree) from {init_pkl}")
+
     # Boltzmann-inversion pretraining for pair models
     # (reference fit_rdf_gnn.py:254-349); skipped on resume -- the
     # checkpointed params already contain it
-    if resume is None and (sys_params.get("pair_flag")
-                           or sys_params.get("tpair_flag")):
+    if resume is None and not init_pkl and (
+            sys_params.get("pair_flag") or sys_params.get("tpair_flag")):
         T_list = [registry_T_kelvin(registry[t]) for t in all_sys]
         rr_lo = min(registry[t]["start"] for t in all_sys)
         rr_hi = max(registry[t]["end"] for t in all_sys)

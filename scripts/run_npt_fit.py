@@ -118,8 +118,10 @@ def main():
         print(f"P0 = {entry.get('pressure', 1.0)} atm = {P0:.3e} eV/A^3",
               flush=True)
         from mdgrad_tpu.nn import SchNet
+        # dims match the water-fit checkpoints (results/water_4k_r3
+        # assignments: basis/filters 128, n_gaussians = 6.0//0.195 = 30)
         gnn = SchNet({"n_atom_basis": 128, "n_filters": 128,
-                      "n_gaussians": 40, "n_convolutions": 2,
+                      "n_gaussians": 30, "n_convolutions": 2,
                       "cutoff": 6.0, "compute_dtype": "bf16"})
         prior = pot_zoo.ExcludedVolume(epsilon=0.010637550996566496,
                                        sigma=2.61227614490785, power=12)

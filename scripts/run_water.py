@@ -75,6 +75,9 @@ def main():
                         "(grow capacity, restore the epoch entry state, "
                         "continue -- survives learned densification)")
     p.add_argument("-regrow_factor", type=float, default=1.5)
+    p.add_argument("-init_pkl", type=str, default=None,
+                   help="params-only warm start: graft the nn subtree "
+                        "from a saved fit checkpoint / best.pkl")
     p.add_argument("-nbr_mode", type=str, default="table",
                    help="GNN edge builder: 'table' (dense O(N^2) "
                         "top_k) or 'cells' (O(N) cell list -- the "
@@ -113,6 +116,7 @@ def main():
         "overflow_policy": args.overflow_policy,
         "regrow_factor": args.regrow_factor,
         "prior_mode": args.prior_mode,
+        "init_pkl": args.init_pkl,
     }
     if args.lr_override is not None:
         assignments["lr"] = args.lr_override
