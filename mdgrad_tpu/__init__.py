@@ -23,8 +23,8 @@ from .system import System, check_system
 from . import lattice, topology, potentials, observables, thermo
 from . import profiling
 from .interface import (PairPotentials, TPairPotentials, GNNPotentials,
-                        Electrostatics, BondPotentials, AnglePotentials,
-                        Stack)
+                        Electrostatics, EwaldElectrostatics,
+                        BondPotentials, AnglePotentials, Stack)
 from .md import (NVE, NoseHooverChain, MTSNoseHooverChain, NPTBerendsenNHC,
                  NPTMTKNHC, Langevin, Simulation, Simulations,
                  Isomerization)

@@ -425,6 +425,61 @@ class Electrostatics(Interaction):
         return jnp.where(mask, u, 0.0).sum()
 
 
+class EwaldElectrostatics(Interaction):
+    """Full Ewald electrostatics (beyond-reference capability).
+
+    The reference truncates Coulomb at a cutoff (interface.py:303-361),
+    which does not converge for condensed phases; this is the proper
+    split-sum treatment (ops/ewald.py), differentiable in positions,
+    charges and the diagonal cell -- so it composes with the NPT
+    integrators and the dynamic-cell multistate path.  Charges can be
+    LEARNABLE: pass ``learn_charges=True`` and they become a params leaf
+    (the reference has no trainable electrostatics at all).
+
+    ``accuracy`` trades cost for truncation error (erfc(accuracy); 3.2
+    ~ 6e-6).  The k-point set is fixed at construction from the
+    construction-time cell -- under NPT cell changes the set stays valid
+    as long as the volume excursion is modest (the Gaussian k-filter has
+    slack); rebuild the interaction for large compressions.
+    """
+
+    def __init__(self, system, charges, r_cut=None, accuracy=3.2,
+                 ex_pairs=None, learn_charges=False):
+        from .ops import ewald
+        check_system(system)
+        self._ewald = ewald
+        self.charges0 = jnp.asarray(charges, dtype=jnp.float32)
+        cell = np.asarray(system.get_cell())
+        cl = np.diag(cell) if cell.ndim == 2 else cell
+        self.cell_len = jnp.asarray(cl, dtype=jnp.float32)
+        if r_cut is None:
+            r_cut = float(cl.min()) / 2 * 0.99
+        self.r_cut = r_cut
+        self.alpha, k_cut = ewald.ewald_params(r_cut, accuracy)
+        self.nvecs = ewald.build_kvectors(cl, k_cut)
+        self.learn_charges = learn_charges
+        n = system.get_number_of_atoms()
+        self.extra_mask = None
+        self.ex_pairs = None
+        if ex_pairs is not None:
+            self.ex_pairs = jnp.asarray(ex_pairs, dtype=jnp.int32)
+            self.extra_mask = topology.pair_index_mask(n, None, ex_pairs)
+
+    def init_params(self):
+        if self.learn_charges:
+            return {"charges": self.charges0}
+        return {}
+
+    def energy(self, params, xyz, aux, cell=None):
+        q = params["charges"] if self.learn_charges else self.charges0
+        cl = self.cell_len if cell is None else (
+            jnp.diag(cell) if jnp.asarray(cell).ndim == 2
+            else jnp.asarray(cell))
+        return self._ewald.ewald_energy(
+            q, xyz, cl, self.nvecs, self.alpha, self.r_cut,
+            extra_mask=self.extra_mask, ex_pairs=self.ex_pairs)
+
+
 class BondPotentials(Interaction):
     """Harmonic bonds with PBC re-wrap (reference interface.py:406-455)."""
 
