@@ -27,7 +27,8 @@ from . import units
 SYMBOL_TO_Z = {"H": 1, "He": 2, "C": 6, "N": 7, "O": 8, "Ar": 18,
                "Si": 14, "Ge": 32, "Cu": 29}
 Z_TO_MASS = {1: 1.008, 2: 4.002602, 6: 12.011, 7: 14.007, 8: 15.999,
-             14: 28.085, 18: 39.948, 29: 63.546, 32: 72.63}
+             11: 22.98977, 14: 28.085, 17: 35.453, 18: 39.948,
+             29: 63.546, 32: 72.63, 55: 132.90545}
 
 
 def wrap_positions(positions, cell):

@@ -1,0 +1,200 @@
+"""Molten-salt charge recovery: fit the electrostatic coupling through
+the differentiable trajectory with Ewald long-range forces.
+
+Beyond-reference workload (the reference has no converged electrostatics
+and no charged workload): a charged two-species soft-sphere melt is
+simulated at ground-truth charge magnitude q*, and the fit recovers q*
+from the charge-ordering signature in the PARTIAL radial distribution
+functions (like-pair vs unlike-pair g(r)) alone -- gradients flow
+through the NHC trajectory (adjoint), the Ewald reciprocal sum and the
+soft-histogram RDFs into a single charge-scale parameter.
+
+This exercises what no short-ranged term can: the like/unlike RDF split
+is driven by the long-range Coulomb ordering, so the gradient signal
+genuinely tests the Ewald path end-to-end (real + reciprocal + self).
+
+Model: ExcludedVolume(sigma, eps, 9) core [frozen] + Ewald with
+q_i = qscale * pattern_i, pattern = +/-1 by species, qscale learnable.
+"""
+
+import os
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import potentials as pot_zoo, units
+from ..system import System
+from ..interface import PairPotentials, EwaldElectrostatics, Stack
+from ..md import NoseHooverChain, Simulation
+from ..observables import rdf as rdf_obs_cls
+
+
+class ScaledChargeEwald(EwaldElectrostatics):
+    """Ewald with a fixed +/- charge pattern and a learnable scalar
+    magnitude (params leaf ``qscale``); U scales as qscale^2."""
+
+    def __init__(self, system, pattern, qscale0, **kw):
+        super().__init__(system, pattern, learn_charges=False, **kw)
+        self.qscale0 = float(qscale0)
+
+    def init_params(self):
+        return {"qscale": jnp.asarray(self.qscale0, dtype=jnp.float32)}
+
+    def energy(self, params, xyz, aux, cell=None):
+        q = params["qscale"] * self.charges0
+        cl = self.cell_len if cell is None else (
+            jnp.diag(cell) if jnp.asarray(cell).ndim == 2
+            else jnp.asarray(cell))
+        return self._ewald.ewald_energy(
+            q, xyz, cl, self.nvecs, self.alpha, self.r_cut,
+            extra_mask=self.extra_mask, ex_pairs=self.ex_pairs)
+
+
+def rocksalt_melt(n_cells=3, a=6.2, T_kelvin=2500.0, rng=None):
+    """Expanded-lattice NaCl-like melt start (expansion + high T melt the
+    crystal within the burn-in)."""
+    frac_na = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                        [0, 0.5, 0.5]])
+    frac_cl = (frac_na + 0.5) % 1.0
+    xyz, nums = [], []
+    for i in range(n_cells):
+        for j in range(n_cells):
+            for k in range(n_cells):
+                off = np.array([i, j, k])
+                xyz.append((frac_na + off) * a)
+                nums += [11] * 4
+                xyz.append((frac_cl + off) * a)
+                nums += [17] * 4
+    sys_ = System(np.concatenate(xyz), cell=np.eye(3) * a * n_cells,
+                  numbers=nums)
+    sys_.set_temperature(T_kelvin, rng=rng)
+    return sys_
+
+
+def build_sim(system, qscale0, q_truth_mode=False, r_cut=None,
+              T_kelvin=2500.0, sigma=2.3, eps=0.1, accuracy=3.2):
+    z = np.asarray(system.get_atomic_numbers())
+    pattern = np.where(z == 11, 1.0, -1.0)
+    core = PairPotentials(
+        system, pot_zoo.ExcludedVolume(sigma=sigma, epsilon=eps, power=9),
+        cutoff=min(r_cut or 1e9, float(np.diag(np.asarray(
+            system.get_cell())).min()) / 2 * 0.98))
+    coul = ScaledChargeEwald(system, pattern, qscale0,
+                             r_cut=core.cutoff, accuracy=accuracy)
+    stack = Stack({"core": core, "coul": coul})
+    integ = NoseHooverChain(stack, system, T=T_kelvin * units.kB, Q=50.0,
+                            num_chains=5, adjoint=not q_truth_mode)
+    return Simulation(system, integ), integ
+
+
+def partial_rdf_observers(system, nbins=64, r_range=(1.6, 7.8)):
+    z = np.asarray(system.get_atomic_numbers())
+    na = np.nonzero(z == 11)[0]
+    cl = np.nonzero(z == 17)[0]
+    half = float(np.diag(np.asarray(system.get_cell())).min()) / 2
+    r_range = (r_range[0], min(r_range[1], half * 0.98))
+    g_like = rdf_obs_cls(system, nbins, r_range, index_tuple=(na, na))
+    g_unlike = rdf_obs_cls(system, nbins, r_range, index_tuple=(na, cl))
+    return g_like, g_unlike
+
+
+def generate_targets(system, q_true, n_sim=16, steps=80, dt=None,
+                     burn=6, T_kelvin=2500.0, log=print, **build_kw):
+    """Simulate the ground-truth charge magnitude; average partial RDFs."""
+    dt = dt or 1.0 * units.fs
+    sim, integ = build_sim(system, q_true, q_truth_mode=True,
+                           T_kelvin=T_kelvin, **build_kw)
+    g_like, g_unlike = partial_rdf_observers(system)
+    run = sim.epoch_fn(dt, steps)
+    state, aux = sim.initial_state()
+    ctrl = integ.default_ctrl()
+    acc_l, acc_u = 0.0, 0.0
+    for i in range(burn + n_sim):
+        traj, aux = run(sim.params, state, aux, ctrl)
+        state = jax.tree_util.tree_map(lambda a: a[-1], traj)
+        if i >= burn:
+            frames = traj.q[::4]
+            acc_l = acc_l + jax.vmap(lambda q: g_like(q)[2])(frames).mean(0)
+            acc_u = acc_u + jax.vmap(
+                lambda q: g_unlike(q)[2])(frames).mean(0)
+    g_l = np.asarray(acc_l / n_sim)
+    g_u = np.asarray(acc_u / n_sim)
+    log(f"targets: like peak {g_l.max():.2f}, unlike peak {g_u.max():.2f}")
+    return g_l, g_u, state
+
+
+def fit_salt(model_path=None, n_cells=3, a=6.2, T_kelvin=2500.0,
+             q_true=0.8, q0=0.4, n_epochs=200, tau=60, dt=None,
+             frame_skip=3, lr=2e-2, target_nsim=16, log=print, rng=None,
+             **build_kw):
+    """Recover the charge magnitude from partial RDFs.  Returns the
+    result dict (also written to ``model_path/result.json``)."""
+    rng = np.random.default_rng(0) if rng is None else rng
+    dt = dt or 1.0 * units.fs
+    system = rocksalt_melt(n_cells, a, T_kelvin, rng=rng)
+    g_l_t, g_u_t, warm_state = generate_targets(
+        system, q_true, n_sim=target_nsim, T_kelvin=T_kelvin, dt=dt,
+        log=log, **build_kw)
+
+    sim, integ = build_sim(system, q0, T_kelvin=T_kelvin, **build_kw)
+    g_like, g_unlike = partial_rdf_observers(system)
+    ode = sim.epoch_fn(dt, tau)
+    params = sim.params
+    state, aux = sim.initial_state()
+    # start from the truth run's final state (same potential family --
+    # the melt structure is a fine initial condition for any q)
+    state = jax.tree_util.tree_map(jnp.asarray, warm_state)
+    ctrl = integ.default_ctrl()
+    g_l_t = jnp.asarray(g_l_t)
+    g_u_t = jnp.asarray(g_u_t)
+
+    def loss_fn(p, state, aux, ctrl):
+        traj, final_aux = ode(p, state, aux, ctrl)
+        frames = traj.q[::frame_skip]
+        gl = jax.vmap(lambda q: g_like(q)[2])(frames).mean(0)
+        gu = jax.vmap(lambda q: g_unlike(q)[2])(frames).mean(0)
+        loss = ((gl - g_l_t) ** 2).mean() + ((gu - g_u_t) ** 2).mean()
+        last = jax.tree_util.tree_map(lambda x: x[-1], traj)
+        return loss, (last, final_aux)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    def label(path, _):
+        return ("train" if getattr(path[0], "key", None) == "coul"
+                else "frozen")
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    opt = optax.multi_transform(
+        {"train": optax.chain(optax.clip_by_global_norm(1.0),
+                              optax.adam(lr)),
+         "frozen": optax.set_to_zero()}, labels)
+    opt_state = opt.init(params)
+    step = jax.jit(lambda g, s, p: (lambda u_s: (
+        optax.apply_updates(p, u_s[0]), u_s[1]))(opt.update(g, s, p)))
+
+    history = []
+    for ep in range(n_epochs):
+        (loss, (last, aux)), grads = vg(params, state, aux, ctrl)
+        if not np.isfinite(float(loss)):
+            log(f"epoch {ep}: NaN loss, stopping")
+            break
+        state = jax.lax.stop_gradient(last)
+        params, opt_state = step(grads, opt_state, params)
+        qs = float(params["coul"]["qscale"])
+        history.append({"epoch": ep, "loss": float(loss), "qscale": qs})
+        if ep % 10 == 0 or ep == n_epochs - 1:
+            log(f"epoch {ep:4d} | loss {float(loss):.5f} | qscale {qs:.4f}"
+                f" (truth {q_true})")
+
+    result = {"q_true": q_true, "q0": q0,
+              "q_final": history[-1]["qscale"] if history else q0,
+              "loss_final": history[-1]["loss"] if history else None,
+              "history": history}
+    if model_path:
+        os.makedirs(model_path, exist_ok=True)
+        with open(os.path.join(model_path, "result.json"), "w") as f:
+            json.dump(result, f, indent=2)
+    return result
