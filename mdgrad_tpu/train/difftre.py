@@ -266,27 +266,75 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
     opt_state = opt.init(params)
     history = []
 
+    # Divergence guard.  One Adam step here moves the potential of EVERY
+    # atom, so a too-aggressive step can walk the sampling MD into a
+    # non-finite region (observed: r4 warm run, outer 4 -- and a NaN ESS
+    # then bypassed the `ess < ess_min` comparison and poisoned the
+    # params for the rest of the run).  On any non-finite sample/loss:
+    # revert to the last good params, halve the update scale (applied to
+    # the POST-Adam updates -- Adam is invariant to grad scaling),
+    # rebuild the MD state from the lattice and re-equilibrate.
+    step_scale = 1.0
+    step_scale_min = 1.0 / 64
+    last_good = params
+    need_equil = False
+
+    def _revert(outer, why):
+        nonlocal params, step_scale, need_equil
+        params = last_good
+        step_scale *= 0.5
+        need_equil = True
+        for sim in sims:
+            sim.state = None
+        log(f"outer {outer:3d} | {why}; reverted params, "
+            f"step_scale -> {step_scale:g}")
+
     for outer in range(int(n_outer)):
         bundles = []
+        bad = None
         for sim, obs in zip(sims, observers):
             sim.params = params
-            frames = sample_frames(sim, n_frames, steps_between, dt,
-                                   equil_steps if outer == 0 else 0)
+            frames = sample_frames(
+                sim, n_frames, steps_between, dt,
+                equil_steps if (outer == 0 or need_equil) else 0)
+            if not np.all(np.isfinite(np.asarray(frames))):
+                bad = "non-finite sampling"
+                break
             bundles.append(make_bundle(sim.integrator.model, frames,
                                        params, obs=obs))
+        if bad:
+            _revert(outer, bad)
+            if step_scale < step_scale_min:
+                log("step_scale exhausted; stopping")
+                break
+            continue
+        need_equil = False
+        last_good = params
 
         inner_done = 0
         loss = ess = None
         for _ in range(int(inner_steps)):
             (loss, aux), grads = vg(params, bundles)
             ess = float(aux["ess"])
+            if not (np.isfinite(float(loss)) and np.isfinite(ess)):
+                bad = f"non-finite loss ({float(loss)}) or ESS ({ess})"
+                break
             if ess < ess_min:
                 break
             updates, opt_state = opt.update(grads, opt_state, params)
+            if step_scale != 1.0:
+                updates = jax.tree_util.tree_map(
+                    lambda u: u * step_scale, updates)
             params = optax.apply_updates(params, updates)
             inner_done += 1
+        if bad:
+            _revert(outer, bad)
+            if step_scale < step_scale_min:
+                log("step_scale exhausted; stopping")
+                break
+            continue
         row = {"outer": outer, "loss": float(loss), "ess": ess,
-               "inner": inner_done}
+               "inner": inner_done, "step_scale": step_scale}
         if aux.get("p_hat") is not None:
             row["p_hat"] = np.asarray(aux["p_hat"]).tolist()
         history.append(row)

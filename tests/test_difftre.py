@@ -165,3 +165,51 @@ def test_difftre_fit_recovers_epsilon():
     assert abs(eps - 1.0) < 0.35 * 0.5, (eps, history)
     # the driver really took deterministic inner steps
     assert sum(h["inner"] for h in history) > 0
+
+
+def test_difftre_fit_survives_nan_sampling(monkeypatch):
+    """r4 regression: a sampling trajectory that goes non-finite (outer 4
+    of the r4 warm run) must trigger revert-to-last-good + step shrink +
+    state rebuild -- not poison the params through a NaN ESS."""
+    from mdgrad_tpu.train import difftre as dtre
+
+    sys_ = System.from_lattice("fcc", 2, 1.679)
+    sys_.set_temperature(KT / units.kB, rng=np.random.default_rng(5))
+    pair = PairPotentials(
+        sys_, potentials.LennardJones(sigma=1.0, epsilon=1.2),
+        cutoff=1.6, mode="dense")
+    integ = NoseHooverChain(pair, sys_, T=KT / units.kB, Q=50.0,
+                            num_chains=3, adjoint=False)
+    sim = Simulation(sys_, integ)
+    obs = rdf_obs(sys_, nbins=24, r_range=(0.75, 1.55))
+    frames0 = sample_frames(sim, n_frames=8, steps_between=20, dt=DT,
+                            equil_steps=100)
+    g_target = np.asarray(
+        jax.lax.map(lambda q: obs(q)[2], frames0)).mean(0)
+
+    real_sample = dtre.sample_frames
+    calls = {"n": 0}
+
+    def poisoned(sim_, *a, **kw):
+        calls["n"] += 1
+        frames = real_sample(sim_, *a, **kw)
+        if calls["n"] == 2:  # second outer's sampling goes non-finite
+            frames = frames.at[0, 0, 0].set(jnp.nan)
+        return frames
+
+    monkeypatch.setattr(dtre, "sample_frames", poisoned)
+    logs = []
+    opt = optax.adam(1e-2)
+    params, history = dtre.difftre_fit(
+        [sim], [obs], [g_target], kTs=[KT], cells=[sys_.get_cell()],
+        opt=opt, dt=DT, n_outer=4, inner_steps=3,
+        n_frames=8, steps_between=20, equil_steps=60,
+        ess_min=0.5, log=logs.append)
+
+    # params stayed finite through the poisoned outer
+    flat = jax.tree_util.tree_leaves(params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+    # the revert path actually fired and was logged
+    assert any("reverted params" in str(m) for m in logs)
+    # and training continued after the revert (later outers in history)
+    assert any(h["outer"] > 1 for h in history)
