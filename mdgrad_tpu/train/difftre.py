@@ -312,10 +312,15 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
         last_good = params
 
         inner_done = 0
-        loss = ess = None
+        loss = ess = loss0 = None
         for _ in range(int(inner_steps)):
             (loss, aux), grads = vg(params, bundles)
             ess = float(aux["ess"])
+            if loss0 is None:
+                # uniform-weight (ESS=1) loss at the sampling params --
+                # the honest learning-curve value; later iterates'
+                # reweighted losses ride a collapsing effective sample
+                loss0 = float(loss)
             if not (np.isfinite(float(loss)) and np.isfinite(ess)):
                 bad = f"non-finite loss ({float(loss)}) or ESS ({ess})"
                 break
@@ -333,13 +338,13 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
                 log("step_scale exhausted; stopping")
                 break
             continue
-        row = {"outer": outer, "loss": float(loss), "ess": ess,
-               "inner": inner_done, "step_scale": step_scale}
+        row = {"outer": outer, "loss": loss0, "loss_rw": float(loss),
+               "ess": ess, "inner": inner_done, "step_scale": step_scale}
         if aux.get("p_hat") is not None:
             row["p_hat"] = np.asarray(aux["p_hat"]).tolist()
         history.append(row)
-        log(f"outer {outer:3d} | loss {float(loss):.6f} | "
-            f"min ESS/F {ess:.3f} | inner steps {inner_done}")
+        log(f"outer {outer:3d} | loss {loss0:.6f} (rw {float(loss):.6f})"
+            f" | min ESS/F {ess:.3f} | inner steps {inner_done}")
 
     for sim in sims:
         sim.params = params
