@@ -35,18 +35,25 @@ FS = 0.09822694788464063  # 1 fs in internal time units
 T_TOTAL_FS = 26.0         # simulated time per epoch (tau=52 @ 0.5 fs)
 
 
-def build(n_inner=None, outer_fs=0.5):
+def build(n_inner=None, outer_fs=0.5, size=4):
     L = get_unit_len(0.99749, 18.01528, 8)
-    system = System.from_lattice("diamond", 4, L, symbol="O")
-    system.masses = np.full(512, 18.01528)
+    system = System.from_lattice("diamond", size, L, symbol="O")
+    n = system.get_number_of_atoms()
+    system.masses = np.full(n, 18.01528)
     system.set_temperature(298.0, rng=np.random.default_rng(0))
     gnn = SchNet({"n_atom_basis": 128, "n_filters": 128, "n_gaussians": 40,
                   "n_convolutions": 2, "cutoff": 6.0,
                   "compute_dtype": "bf16"})
+    # size>=8 (4096 atoms): the fit configuration -- O(N) cells edge
+    # builder for the GNN, sparse prior (dense N^2 pair math stops
+    # winning past ~2k atoms, CLAUDE.md rule 5)
+    nbr_mode = "cells" if n > 2048 else "table"
     stack = Stack({
-        "nn": GNNPotentials(system, gnn, cutoff=6.0, capacity_slack=1.25),
+        "nn": GNNPotentials(system, gnn, cutoff=6.0, capacity_slack=1.25,
+                            nbr_mode=nbr_mode),
         "prior": PairPotentials(system, potentials.ExcludedVolume(
-            sigma=2.6, epsilon=0.01, power=12), cutoff=6.0, mode="dense"),
+            sigma=2.6, epsilon=0.01, power=12), cutoff=6.0,
+            mode="dense" if n <= 2048 else "table"),
     })
     if n_inner is None:
         integ = NoseHooverChain(stack, system, T=298.0, Q=50.0,
@@ -60,10 +67,10 @@ def build(n_inner=None, outer_fs=0.5):
     return system, sim, integ, obs
 
 
-def bench(name, n_inner=None, outer_fs=0.5, reps=5):
+def bench(name, n_inner=None, outer_fs=0.5, reps=5, size=4):
     tau = int(round(T_TOTAL_FS / outer_fs))
     dt = outer_fs * FS
-    system, sim, integ, obs = build(n_inner, outer_fs)
+    system, sim, integ, obs = build(n_inner, outer_fs, size=size)
     ode = sim.epoch_fn(dt, tau)
     state, aux = sim.initial_state()
     ctrl = integ.default_ctrl()
@@ -93,9 +100,11 @@ def bench(name, n_inner=None, outer_fs=0.5, reps=5):
 
 
 if __name__ == "__main__":
-    print(f"devices: {jax.devices()}", flush=True)
-    base = bench("single-rate dt=0.5fs")
-    m2 = bench("MTS k=2 outer=1.0fs", n_inner=2, outer_fs=1.0)
-    m4 = bench("MTS k=4 outer=2.0fs", n_inner=4, outer_fs=2.0)
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    print(f"devices: {jax.devices()}  size={size} "
+          f"({8 * size ** 3} atoms)", flush=True)
+    base = bench("single-rate dt=0.5fs", size=size)
+    m2 = bench("MTS k=2 outer=1.0fs", n_inner=2, outer_fs=1.0, size=size)
+    m4 = bench("MTS k=4 outer=2.0fs", n_inner=4, outer_fs=2.0, size=size)
     print(f"speedup vs single-rate: k=2 {m2/base:.2f}x, k=4 {m4/base:.2f}x",
           flush=True)
