@@ -450,18 +450,28 @@ class EwaldElectrostatics(Interaction):
         self._ewald = ewald
         self.charges0 = jnp.asarray(charges, dtype=jnp.float32)
         cell = np.asarray(system.get_cell())
-        cl = np.diag(cell) if cell.ndim == 2 else cell
-        self.cell_len = jnp.asarray(cl, dtype=jnp.float32)
+        cm = np.diag(cell) if cell.ndim == 1 else cell
+        diagonal = np.allclose(cm, np.diag(np.diag(cm)))
+        self.cell0 = jnp.asarray(np.diag(cm) if diagonal else cm,
+                                 dtype=jnp.float32)
         if r_cut is None:
-            r_cut = float(cl.min()) / 2 * 0.99
+            # half the smallest perpendicular box width (min-image bound)
+            V = abs(np.linalg.det(cm))
+            widths = [V / np.linalg.norm(np.cross(cm[(i + 1) % 3],
+                                                  cm[(i + 2) % 3]))
+                      for i in range(3)]
+            r_cut = float(min(widths)) / 2 * 0.99
         self.r_cut = r_cut
         self.alpha, k_cut = ewald.ewald_params(r_cut, accuracy)
-        self.nvecs = ewald.build_kvectors(cl, k_cut)
+        self.nvecs = ewald.build_kvectors(cm, k_cut)
         self.learn_charges = learn_charges
         n = system.get_number_of_atoms()
         self.extra_mask = None
         self.ex_pairs = None
         if ex_pairs is not None:
+            if not diagonal:
+                raise ValueError("ex_pairs requires a diagonal cell "
+                                 "(elementwise bond re-wrap)")
             self.ex_pairs = jnp.asarray(ex_pairs, dtype=jnp.int32)
             self.extra_mask = topology.pair_index_mask(n, None, ex_pairs)
 
@@ -472,9 +482,7 @@ class EwaldElectrostatics(Interaction):
 
     def energy(self, params, xyz, aux, cell=None):
         q = params["charges"] if self.learn_charges else self.charges0
-        cl = self.cell_len if cell is None else (
-            jnp.diag(cell) if jnp.asarray(cell).ndim == 2
-            else jnp.asarray(cell))
+        cl = self.cell0 if cell is None else jnp.asarray(cell)
         return self._ewald.ewald_energy(
             q, xyz, cl, self.nvecs, self.alpha, self.r_cut,
             extra_mask=self.extra_mask, ex_pairs=self.ex_pairs)

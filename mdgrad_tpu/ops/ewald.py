@@ -57,18 +57,30 @@ def ewald_params(r_cut, accuracy=3.2):
     return alpha, k_cut
 
 
-def build_kvectors(cell_len, k_cut):
+def _as_matrix(cell):
+    cell = jnp.asarray(cell)
+    return jnp.diag(cell) if cell.ndim == 1 else cell
+
+
+def build_kvectors(cell, k_cut):
     """Integer reciprocal-lattice triples n (Nk, 3) covering the HALF space
-    with |2 pi n / L| <= k_cut (k and -k give identical |S(k)|^2, so the
-    full sum is 2x the half sum).  Static: evaluated once at construction
-    with numpy; the traced cell only enters through k = 2 pi n / L at
-    evaluation time.
+    with |k(n)| <= k_cut, where k(n) = 2 pi n @ inv(cell) (rows of cell =
+    lattice vectors; reduces to 2 pi n / L for diagonal cells).  k and -k
+    give identical |S(k)|^2, so the full sum is 2x the half sum.  Static:
+    evaluated once at construction with numpy; the traced cell only
+    enters through k(n) at evaluation time.
     """
-    L = np.asarray(cell_len, dtype=np.float64)
-    nmax = np.maximum(1, np.ceil(k_cut * L / (2 * np.pi)).astype(int))
+    cell = np.asarray(cell, dtype=np.float64)
+    cell = np.diag(cell) if cell.ndim == 1 else cell
+    # k(n) = 2 pi n @ inv(cell)^T (so that k . a_i = 2 pi n_i); the
+    # exact search bound follows from |n_i| = |k . a_i| / 2pi
+    # <= k_cut |a_i| / 2pi
+    recip_t = 2 * np.pi * np.linalg.inv(cell).T
+    a_norm = np.linalg.norm(cell, axis=1)
+    nmax = np.maximum(1, np.ceil(k_cut * a_norm / (2 * np.pi)).astype(int))
     rng = [np.arange(-m, m + 1) for m in nmax]
     n = np.stack(np.meshgrid(*rng, indexing="ij"), axis=-1).reshape(-1, 3)
-    k2 = ((2 * np.pi * n / L) ** 2).sum(-1)
+    k2 = ((n @ recip_t) ** 2).sum(-1)
     keep = (k2 > 0) & (k2 <= k_cut ** 2)
     # half space: first nonzero component positive
     first = np.where(n[:, 0] != 0, n[:, 0],
@@ -77,14 +89,19 @@ def build_kvectors(cell_len, k_cut):
     return jnp.asarray(n[keep].astype(np.float32))
 
 
-def reciprocal_energy(q, xyz, cell_len, nvecs, alpha):
+def reciprocal_energy(q, xyz, cell, nvecs, alpha):
     """U_recip = k_e * (2 pi / V) * 2 * sum_half exp(-k^2/4a^2)/k^2 |S(k)|^2.
 
     One (N,3)x(3,Nk) matmul + cos/sin + reductions; O(N * Nk) on the MXU.
+    General (triclinic) cells: rows of ``cell`` are the lattice vectors.
     """
-    cell_len = jnp.asarray(cell_len)
-    V = jnp.prod(cell_len)
-    frac = xyz / cell_len
+    cm = _as_matrix(cell)
+    V = jnp.abs(jnp.linalg.det(cm))
+    # fractional coords: xyz = frac @ cell  ->  frac = xyz @ inv(cell);
+    # phases are exactly periodic in frac, so wrap to [0, 1) for f32
+    # precision (the wrap offset is piecewise constant: zero gradient)
+    frac = jnp.matmul(xyz, jnp.linalg.inv(cm),
+                      precision=jax.lax.Precision.HIGHEST)
     frac = frac - jnp.floor(jax.lax.stop_gradient(frac))
     phase = 2 * jnp.pi * jnp.matmul(
         frac, nvecs.T, precision=jax.lax.Precision.HIGHEST)
@@ -92,7 +109,8 @@ def reciprocal_energy(q, xyz, cell_len, nvecs, alpha):
     s = jnp.sin(phase)
     re = (q[:, None] * c).sum(0)           # (Nk,)
     im = (q[:, None] * s).sum(0)
-    k = 2 * jnp.pi * nvecs / cell_len      # (Nk, 3)
+    k = 2 * jnp.pi * jnp.matmul(nvecs, jnp.linalg.inv(cm).T,
+                                precision=jax.lax.Precision.HIGHEST)
     k2 = (k ** 2).sum(-1)
     coeff = jnp.exp(-k2 / (4 * alpha ** 2)) / k2
     return COULOMB * (4 * jnp.pi / V) * (coeff * (re ** 2 + im ** 2)).sum()
@@ -116,10 +134,10 @@ def self_energy(q, alpha):
     return -COULOMB * alpha / jnp.sqrt(jnp.pi) * (q ** 2).sum()
 
 
-def background_energy(q, cell_len, alpha):
+def background_energy(q, cell, alpha):
     """Neutralizing-background correction: keeps U alpha-invariant for
     net-charged cells (the k=0 term omitted from the reciprocal sum)."""
-    V = jnp.prod(jnp.asarray(cell_len))
+    V = jnp.abs(jnp.linalg.det(_as_matrix(cell)))
     return -COULOMB * jnp.pi / (2 * V * alpha ** 2) * q.sum() ** 2
 
 
@@ -128,7 +146,8 @@ def exclusion_correction(q, xyz, cell, alpha, pairs):
 
     The reciprocal sum covers ALL pairs; bonded exclusions therefore need
     -k_e q_i q_j erf(alpha r)/r removed per excluded (i, j).  ``pairs`` is
-    a static (P, 2) int array.
+    a static (P, 2) int array.  Diagonal cells only (the bond re-wrap is
+    elementwise); bonded molecular systems use orthorhombic boxes here.
     """
     cl = jnp.diag(cell) if jnp.asarray(cell).ndim == 2 else jnp.asarray(cell)
     vec = xyz[pairs[:, 0]] - xyz[pairs[:, 1]]
@@ -138,14 +157,15 @@ def exclusion_correction(q, xyz, cell, alpha, pairs):
     return -(COULOMB * qq * jax.scipy.special.erf(alpha * r) / r).sum()
 
 
-def ewald_energy(q, xyz, cell_len, nvecs, alpha, r_cut,
+def ewald_energy(q, xyz, cell, nvecs, alpha, r_cut,
                  extra_mask=None, ex_pairs=None):
-    """Total Ewald electrostatic energy (eV) for a diagonal cell."""
-    cell_len = jnp.asarray(cell_len)
-    u = (real_energy(q, xyz, cell_len, alpha, r_cut, extra_mask)
-         + reciprocal_energy(q, xyz, cell_len, nvecs, alpha)
+    """Total Ewald electrostatic energy (eV).  ``cell`` is (3,) diagonal
+    lengths or a (3, 3) triclinic matrix (rows = lattice vectors)."""
+    cell = jnp.asarray(cell)
+    u = (real_energy(q, xyz, cell, alpha, r_cut, extra_mask)
+         + reciprocal_energy(q, xyz, cell, nvecs, alpha)
          + self_energy(q, alpha)
-         + background_energy(q, cell_len, alpha))
+         + background_energy(q, cell, alpha))
     if ex_pairs is not None:
-        u = u + exclusion_correction(q, xyz, cell_len, alpha, ex_pairs)
+        u = u + exclusion_correction(q, xyz, cell, alpha, ex_pairs)
     return u

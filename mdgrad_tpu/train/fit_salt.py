@@ -45,9 +45,7 @@ class ScaledChargeEwald(EwaldElectrostatics):
 
     def energy(self, params, xyz, aux, cell=None):
         q = params["qscale"] * self.charges0
-        cl = self.cell_len if cell is None else (
-            jnp.diag(cell) if jnp.asarray(cell).ndim == 2
-            else jnp.asarray(cell))
+        cl = self.cell0 if cell is None else jnp.asarray(cell)
         return self._ewald.ewald_energy(
             q, xyz, cl, self.nvecs, self.alpha, self.r_cut,
             extra_mask=self.extra_mask, ex_pairs=self.ex_pairs)

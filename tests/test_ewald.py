@@ -155,3 +155,40 @@ def test_cell_gradient_finite_difference():
     fd = (float(u_of_L(jnp.float32(5.64 + eps)))
           - float(u_of_L(jnp.float32(5.64 - eps)))) / (2 * eps)
     assert abs(g - fd) < 5e-2 * abs(fd)
+
+
+def test_madelung_nacl_triclinic_primitive():
+    # the rhombohedral fcc PRIMITIVE cell of rock salt (2 ions) must
+    # reproduce the same Madelung energy as the cubic conventional cell:
+    # exercises the triclinic reciprocal sum (k = 2 pi n @ inv(cell)^T),
+    # the det-volume terms and the triclinic real-space minimum image
+    a = 5.64
+    cell = 0.5 * a * np.array([[0.0, 1.0, 1.0],
+                               [1.0, 0.0, 1.0],
+                               [1.0, 1.0, 0.0]])
+    xyz = np.array([[0.0, 0.0, 0.0],
+                    [a / 2, a / 2, a / 2]])
+    q = np.array([1.0, -1.0])
+    sys_ = System(xyz, cell=cell, numbers=[11, 17])
+    inter = EwaldElectrostatics(sys_, q)
+    u = float(inter.energy({}, jnp.asarray(sys_.get_positions()), ()))
+    expected = -M_NACL * ewald.COULOMB / (a / 2)   # one ion pair
+    assert abs(u - expected) / abs(expected) < 2e-3
+
+
+def test_triclinic_matches_conventional_energy_density():
+    # energy per ion pair must agree between the 8-ion cubic cell and
+    # the 2-ion primitive cell (two completely different summation
+    # geometries over the same crystal)
+    sys_c, q_c = nacl_system()
+    u_cubic = float(EwaldElectrostatics(sys_c, q_c).energy(
+        {}, jnp.asarray(sys_c.get_positions()), ()))
+    a = 5.64
+    cell = 0.5 * a * np.array([[0.0, 1.0, 1.0],
+                               [1.0, 0.0, 1.0],
+                               [1.0, 1.0, 0.0]])
+    xyz = np.array([[0.0, 0.0, 0.0], [a / 2, a / 2, a / 2]])
+    sys_p = System(xyz, cell=cell, numbers=[11, 17])
+    u_prim = float(EwaldElectrostatics(sys_p, [1.0, -1.0]).energy(
+        {}, jnp.asarray(xyz), ()))
+    assert abs(u_cubic / 4 - u_prim) / abs(u_prim) < 2e-3
