@@ -202,13 +202,16 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     opt_state = opt.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, states):
+    def train_step(params, opt_state, states, step_scale):
         (loss, (losses, gs, finals, overflow)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(
                 params, states, comps["cell_lens"], comps["kTs"],
                 comps["targets"], comps["rhos"])
         updates, opt_state = opt.update(grads, opt_state, params,
                                         value=loss)
+        # post-Adam update scale: halved by the NaN-recovery path (Adam
+        # is invariant to grad scaling, so this is the lr knob)
+        updates = jax.tree_util.tree_map(lambda u: u * step_scale, updates)
         params = optax.apply_updates(params, updates)
         return loss, params, opt_state, losses, gs, finals, overflow
 
@@ -234,13 +237,29 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
         start_epoch = resume["epoch"] + 1
         log(f"resumed from checkpoint at epoch {resume['epoch']}")
 
-    for epoch in range(start_epoch, n_epochs):
-        loss, params, opt_state, losses, gs, finals, overflow = train_step(
-            params, opt_state, states)
+    # NaN recovery (same pattern as train/difftre.py): keep a last-good
+    # snapshot; on a non-finite epoch restore it, halve the update
+    # scale and continue instead of abandoning the fit (the r4 3-temp
+    # tpair run died this way at epoch 185 of 500, mid-descent)
+    step_scale = 1.0
+    last_good = (params, opt_state, states)
+    epoch = start_epoch
+    while epoch < n_epochs:
+        loss, new_params, new_opt_state, losses, gs, finals, overflow =             train_step(params, opt_state, states, step_scale)
         if not bool(jnp.isfinite(finals.q).all()):
-            log(f"NaN bailout at epoch {epoch}")
-            return {"objective": 5 - (epoch / n_epochs) * 5,
-                    "nan_bailout": True, "loss_log": loss_log}
+            step_scale *= 0.5
+            if step_scale < 1 / 16:
+                log(f"NaN bailout at epoch {epoch} "
+                    f"(step_scale exhausted)")
+                return {"objective": 5 - (epoch / n_epochs) * 5,
+                        "nan_bailout": True, "loss_log": loss_log,
+                        "final": {}}
+            params, opt_state, states = last_good
+            log(f"epoch {epoch}: non-finite state; restored last-good, "
+                f"step_scale -> {step_scale:g}")
+            continue
+        params, opt_state = new_params, new_opt_state
+        last_good = (params, opt_state, finals)
         if bool(jnp.any(overflow)):
             log(f"WARNING: neighbor capacity overflow at epoch {epoch} "
                 f"(states {np.nonzero(np.asarray(overflow))[0].tolist()}) "
@@ -253,6 +272,7 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
             + " ".join(f"{float(l):.4f}" for l in losses))
         ckpt.maybe_save(epoch, params, opt_state, states,
                         {"loss_log": loss_log, "js_log": js_log})
+        epoch += 1
 
     # inference: per state point, standard single-system rollout at the
     # 800-bin resolution (same protocol as fit_rdf:420-457); val tags

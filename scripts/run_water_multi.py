@@ -75,8 +75,10 @@ def main():
     out = fit_rdf_multistate(assignments, sys_params,
                              model_path=os.path.join(args.logdir, "0"))
     print("objective:", out["objective"])
-    for tag, fin in out["final"].items():
+    for tag, fin in out.get("final", {}).items():
         print(f"  {tag}: mse {fin['mse']:.4f}")
+    if out.get("nan_bailout"):
+        print("NaN bailout -- no inference results")
 
 
 if __name__ == "__main__":
