@@ -174,6 +174,14 @@ def main():
 
     state, aux = sim.initial_state()
     rho_log, loss_log = [], []
+    # best-model selection + patience stop: the density target is
+    # EOS-degenerate in (eps, sigma) -- once on target, continued Adam
+    # steps walk along the degenerate valley on estimator noise and can
+    # drift off it entirely (first r4 run: loss 3.5e-5 at epoch 30,
+    # then monotone sigma drift to 1.69 and rho 1.80 by epoch 149)
+    best = {"loss": float("inf"), "params": params, "epoch": -1,
+            "state": state, "aux": aux}
+    patience = 40
     for epoch in range(args.nepochs):
         (loss, (rho_hat, last, final_aux)), grads = vg(params, state, aux)
         if not bool(jnp.isfinite(last.q).all()):
@@ -181,6 +189,9 @@ def main():
             break
         state = jax.lax.stop_gradient(last)
         aux = final_aux
+        if float(loss) < best["loss"]:
+            best = {"loss": float(loss), "params": params, "epoch": epoch,
+                    "state": state, "aux": aux}
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         rho_log.append(float(rho_hat))
@@ -193,10 +204,31 @@ def main():
             print(f"epoch {epoch:4d} | loss {float(loss):.6f} | "
                   f"rho {float(rho_hat):.4f} vs {rho_target:.4f}{extra}",
                   flush=True)
+        if epoch - best["epoch"] > patience:
+            print(f"early stop at epoch {epoch} (no improvement in "
+                  f"{patience} epochs; best {best['loss']:.6f} at "
+                  f"{best['epoch']})", flush=True)
+            break
+
+    # equilibrated evaluation at the BEST params: re-run the NPT
+    # trajectory without updates and average the density (the per-epoch
+    # rho that selected "best" rides a short 30-step window)
+    params = best["params"]
+    eval_fn = jax.jit(loss_fn)
+    est, ea = best["state"], best["aux"]
+    rhos_eval = []
+    for i in range(8):
+        _, (rho_hat, last, ea) = eval_fn(params, est, ea)
+        est = jax.lax.stop_gradient(last)
+        if i >= 3:
+            rhos_eval.append(float(rho_hat))
+    rho_eval = float(np.mean(rhos_eval))
 
     final_rho = float(np.mean(rho_log[-10:])) if rho_log else float("nan")
     out = {"rho_target": float(rho_target), "rho_final": final_rho,
-           "rho_err_pct": 100.0 * abs(final_rho - rho_target) / rho_target,
+           "rho_best_eval": rho_eval, "best_epoch": best["epoch"],
+           "best_loss": best["loss"],
+           "rho_err_pct": 100.0 * abs(rho_eval - rho_target) / rho_target,
            "P0": float(P0), "rho_log": rho_log, "loss_log": loss_log}
     if reduced:
         out["params"] = {k: float(v) for k, v in params.items()}
@@ -205,8 +237,10 @@ def main():
             pickle.dump({"params": jax.device_get(params)}, f)
     with open(os.path.join(args.logdir, "result.json"), "w") as f:
         json.dump(out, f, indent=1)
-    print(f"final NPT density {final_rho:.4f} vs target "
-          f"{rho_target:.4f} ({out['rho_err_pct']:.2f}%)", flush=True)
+    print(f"best-eval NPT density {rho_eval:.4f} (epoch "
+          f"{best['epoch']}) vs target {rho_target:.4f} "
+          f"({out['rho_err_pct']:.2f}%); last-epochs mean {final_rho:.4f}",
+          flush=True)
 
 
 if __name__ == "__main__":
