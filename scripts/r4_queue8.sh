@@ -1,8 +1,7 @@
 #!/usr/bin/env bash
-# Round-4 queue 8: precise 4k MTS timing (the warm fit landed MSE
-# 0.00157 -- the speedup side of VERDICT #2 needs a controlled
-# measurement), isomerization plateau extension, the official bench
-# smoke, and the DiffTRe scratch control last if time remains.
+# Round-4 queue 8 (reordered): after queue 7, run the quick
+# measurements and the queue-6 retakes first; the DiffTRe scratch
+# control is last because it is the most expendable.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
@@ -24,6 +23,15 @@ run isom_plateau python scripts/run_isom.py -nepochs 160 \
   -logdir results/isom_r4b
 
 run bench_official python bench.py
+
+TMO=3600
+run npt_lj2 python scripts/run_npt_fit.py -data lj_0.845_1.2 \
+  -size 3 -nepochs 150 -opt_freq 60 -lr 5e-3 \
+  -logdir results/npt_lj_r4b
+
+run tpair_multi2 python scripts/run_water_multi.py --tpair \
+  -data H20_298K_redd H20_308K_redd H20_368K_redd -val H20_338K_redd \
+  -nepochs 500 -nsim 10 -logdir results/water_tpair_multi_r4
 
 TMO=5400
 run difftre_scratch python scripts/run_difftre.py \
