@@ -83,7 +83,8 @@ def build_sim(system, qscale0, q_truth_mode=False, r_cut=None,
     coul = ScaledChargeEwald(system, pattern, qscale0,
                              r_cut=core.cutoff, accuracy=accuracy)
     stack = Stack({"core": core, "coul": coul})
-    integ = NoseHooverChain(stack, system, T=T_kelvin * units.kB, Q=50.0,
+    # NoseHooverChain takes T in KELVIN (it multiplies by kB itself)
+    integ = NoseHooverChain(stack, system, T=T_kelvin, Q=50.0,
                             num_chains=5, adjoint=not q_truth_mode)
     return Simulation(system, integ), integ
 

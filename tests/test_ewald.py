@@ -192,3 +192,46 @@ def test_triclinic_matches_conventional_energy_density():
     u_prim = float(EwaldElectrostatics(sys_p, [1.0, -1.0]).energy(
         {}, jnp.asarray(xyz), ()))
     assert abs(u_cubic / 4 - u_prim) / abs(u_prim) < 2e-3
+
+
+def test_ewald_under_npt_barostat():
+    # "NPT-ready" must be executable: a charged melt under the MTK
+    # barostat -- the Ewald cell-gradient feeds the virial, the cell is
+    # a state variable, and gradients flow to the charge through the
+    # barostatted trajectory
+    from mdgrad_tpu import units, potentials as pot_zoo
+    from mdgrad_tpu.md import NPTMTKNHC, Simulation
+    from mdgrad_tpu.interface import PairPotentials, Stack
+    from mdgrad_tpu.train.fit_salt import ScaledChargeEwald, rocksalt_melt
+
+    sys_ = rocksalt_melt(n_cells=2, a=6.0, T_kelvin=1800.0,
+                         rng=np.random.default_rng(0))
+    pattern = np.where(np.asarray(sys_.get_atomic_numbers()) == 11,
+                       1.0, -1.0)
+    dt = 1.0 * units.fs
+    stack = Stack({
+        "core": PairPotentials(
+            sys_, pot_zoo.ExcludedVolume(sigma=2.3, epsilon=0.1, power=9),
+            cutoff=5.5),
+        "coul": ScaledChargeEwald(sys_, pattern, 0.6, r_cut=5.5),
+    })
+    integ = NPTMTKNHC(stack, sys_, T=1800.0, P=1e-4,
+                      tau=40 * dt, tau_p=100 * dt, num_chains=3,
+                      adjoint=True)
+    sim = Simulation(sys_, integ)
+    ode = sim.epoch_fn(dt, 20)
+    state, aux = sim.initial_state()
+    ctrl = integ.default_ctrl()
+
+    def vol_loss(p):
+        traj, _ = ode(p, state, aux, ctrl)
+        assert traj.cell is not None
+        return jnp.prod(traj.cell[-5:], axis=-1).mean()
+
+    v = float(vol_loss(sim.params))
+    assert np.isfinite(v) and v > 0
+    g = jax.grad(vol_loss)(sim.params)
+    gq = float(g["coul"]["qscale"])
+    assert np.isfinite(gq) and abs(gq) > 0
+    # stronger Coulomb cohesion shrinks the equilibrium volume
+    assert gq < 0
