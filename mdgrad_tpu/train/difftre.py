@@ -215,7 +215,8 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
                 n_outer=20, inner_steps=50, n_frames=40,
                 steps_between=20, equil_steps=200, ess_min=0.9,
                 pressure_targets=None, pressure_weight=0.0,
-                dim=3, frame_chunk=FRAME_CHUNK, log=print):
+                dim=3, frame_chunk=FRAME_CHUNK, log=print,
+                on_outer=None):
     """Multi-state DiffTRe: sample with the current params, then take up
     to ``inner_steps`` deterministic gradient steps on the summed
     reweighted loss, resampling when any state's ESS fraction drops
@@ -345,6 +346,10 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
         history.append(row)
         log(f"outer {outer:3d} | loss {loss0:.6f} (rw {float(loss):.6f})"
             f" | min ESS/F {ess:.3f} | inner steps {inner_done}")
+        if on_outer is not None:
+            # per-outer checkpoint hook: a timeout/kill mid-fit must not
+            # lose the run (each outer costs minutes of resampling MD)
+            on_outer(outer, params, history)
 
     for sim in sims:
         sim.params = params

@@ -152,6 +152,13 @@ def main():
     dt = dts[0]
     assert all(abs(d - dt) < 1e-12 for d in dts), \
         "difftre_fit shares one dt across states"
+    def checkpoint_outer(outer, p_now, hist):
+        with open(os.path.join(args.logdir, "best.pkl"), "wb") as f:
+            pickle.dump({"params": jax.device_get(p_now),
+                         "epoch": outer, "engine": "difftre"}, f)
+        with open(os.path.join(args.logdir, "history.json"), "w") as f:
+            json.dump(hist, f, indent=2)
+
     params, history = difftre_fit(
         sims, observers, targets, kTs, cells, opt, dt,
         n_outer=args.n_outer, inner_steps=args.inner_steps,
@@ -160,7 +167,8 @@ def main():
         pressure_targets=(p_targets if args.pressure_weight > 0
                           else None),
         pressure_weight=args.pressure_weight,
-        dim=pair_data_dict[args.data[0]].get("dim", 3))
+        dim=pair_data_dict[args.data[0]].get("dim", 3),
+        on_outer=checkpoint_outer)
 
     with open(os.path.join(args.logdir, "best.pkl"), "wb") as f:
         pickle.dump({"params": jax.device_get(params),
