@@ -369,9 +369,10 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     # the axon tunnel costs hundreds of ~1 ms dispatches per epoch (more
     # than the MD itself); fused it is a single device call
     @jax.jit
-    def apply_update(grads_acc, opt_state, params, total_loss):
+    def apply_update(grads_acc, opt_state, params, total_loss, step_scale):
         updates, opt_state = opt.update(grads_acc, opt_state, params,
                                         value=total_loss)
+        updates = jax.tree_util.tree_map(lambda u: u * step_scale, updates)
         return optax.apply_updates(params, updates), opt_state
 
     tree_add = jax.jit(functools.partial(jax.tree_util.tree_map, jnp.add))
@@ -449,11 +450,21 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     # results/r3_logs/water_tpair5.log)
     overflow_policy = sys_params.get("overflow_policy", "warn")
     regrow_factor = float(sys_params.get("regrow_factor", 1.5))
-    for epoch in range(start_epoch, n_epochs):
+    # NaN recovery (same pattern as fit_rdf_multi/difftre): keep a
+    # last-good snapshot; on a non-finite trajectory restore it, halve
+    # the update scale and RETRY the epoch instead of abandoning the
+    # fit (the r4 table-mode tpair regrow run died this way at epoch
+    # 99 of 150, results/r4_logs/tpair_table_regrow.log)
+    step_scale = 1.0
+    last_good = (params, opt_state, list(md_states))
+    epoch = start_epoch
+    while epoch < n_epochs:
         total_loss = 0.0
         grads_acc = zero_grads
         epoch_overflow = False
+        epoch_nan_tag = None
         overflow_js = []
+        js_entry_len = len(js_log)
         entry_states = list(md_states)
         for j, tag in enumerate(all_sys):
             sim = sims[j]
@@ -473,9 +484,8 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                 params, state, aux, ctrl)
 
             if not bool(jnp.isfinite(last.q).all()):
-                log(f"NaN bailout at epoch {epoch} ({tag})")
-                return {"objective": 5 - (epoch / n_epochs) * 5,
-                        "nan_bailout": True, "loss_log": loss_log}
+                epoch_nan_tag = tag
+                break
             # aux may be a Stack's dict of child auxes or a bare
             # NeighborList/NeighborTable NamedTuple; both carry overflow
             if aux_overflow(final_aux):
@@ -491,6 +501,22 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                 total_loss += float(loss)
                 js_log.append(float(JS_rdf(targets[j], g)))
                 grads_acc = tree_add(grads_acc, grads)
+
+        if epoch_nan_tag is not None:
+            step_scale *= 0.5
+            if step_scale < 1 / 16:
+                log(f"NaN bailout at epoch {epoch} ({epoch_nan_tag}, "
+                    "step_scale exhausted)")
+                return {"objective": 5 - (epoch / n_epochs) * 5,
+                        "nan_bailout": True, "loss_log": loss_log}
+            params, opt_state, md_states = (
+                last_good[0], last_good[1], list(last_good[2]))
+            for sim in sims:
+                sim.params = params
+            del js_log[js_entry_len:]
+            log(f"epoch {epoch} ({epoch_nan_tag}): non-finite trajectory; "
+                f"restored last-good, step_scale -> {step_scale:g}")
+            continue
 
         if overflow_js and overflow_policy == "regrow":
             if epoch_overflow:
@@ -513,13 +539,16 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                     "(overflow_policy='skip')")
         else:
             params, opt_state = apply_update(grads_acc, opt_state, params,
-                                             jnp.asarray(total_loss))
+                                             jnp.asarray(total_loss),
+                                             jnp.asarray(step_scale))
+        last_good = (params, opt_state, list(md_states))
         for sim in sims:
             sim.params = params
         loss_log.append(total_loss)
         log(f"epoch {epoch} | loss: {total_loss:.5f}")
         ckpt.maybe_save(epoch, params, opt_state, md_states,
                         {"loss_log": loss_log, "js_log": js_log})
+        epoch += 1
 
     # inference: longer sampling, 800-bin RDF
     # (reference fit_rdf_gnn.py:471-509)

@@ -109,6 +109,13 @@ def build_multistate(assignments, sys_params, registry=None, rng=None):
             "rdf_range": rdf_range}
 
 
+def _states_finite(finals):
+    """Host-side finiteness gate for the NaN-recovery path (module-level
+    so tests can inject a transient failure without poisoning the jitted
+    train_step)."""
+    return bool(jnp.isfinite(finals.q).all())
+
+
 def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                        registry=None, rng=None, mesh=None):
     """Train one shared potential against every state point concurrently.
@@ -246,7 +253,7 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     epoch = start_epoch
     while epoch < n_epochs:
         loss, new_params, new_opt_state, losses, gs, finals, overflow =             train_step(params, opt_state, states, step_scale)
-        if not bool(jnp.isfinite(finals.q).all()):
+        if not _states_finite(finals):
             step_scale *= 0.5
             if step_scale < 1 / 16:
                 log(f"NaN bailout at epoch {epoch} "

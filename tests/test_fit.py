@@ -448,6 +448,49 @@ def test_fit_rdf_multistate_gnn_smoke(synthetic_registry):
     assert set(out["final"]) == {"ljtest", "ljtest2"}
 
 
+def test_fit_rdf_multistate_nan_recovery(synthetic_registry, monkeypatch):
+    """r4 regression (the 3-temp tpair run died at epoch 185/500): a
+    transient non-finite epoch must restore the last-good snapshot,
+    halve the update scale and continue -- not abandon the fit."""
+    import importlib
+    frm = importlib.import_module("mdgrad_tpu.train.fit_rdf_multi")
+
+    real_gate = frm._states_finite
+    poison = {"armed": True}
+
+    def gated(finals):
+        if poison["armed"]:
+            poison["armed"] = False
+            return False
+        return real_gate(finals)
+
+    monkeypatch.setattr(frm, "_states_finite", gated)
+    registry = dict(synthetic_registry)
+    e2 = dict(registry["ljtest"])
+    e2["T"], e2["rho"] = 1.4, 0.80
+    registry["ljtest2"] = e2
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 11, "lr": 1e-3,
+        "epsilon": 0.4, "sigma": 0.9,
+        "gaussian_width": 0.25, "n_atom_basis": "tiny",
+        "n_filters": "tiny", "n_convolutions": 2,
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 2, "n_sim": 1,
+        "data": ["ljtest", "ljtest2"], "pair_flag": False,
+        "frame_skip": 5, "test_nbins": 64,
+    }
+    logs = []
+    out = frm.fit_rdf_multistate(assignments, sys_params, registry=registry,
+                                 rng=np.random.default_rng(1),
+                                 log=logs.append)
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 2          # both epochs completed
+    joined = "\n".join(str(m) for m in logs)
+    assert "restored last-good" in joined
+    assert set(out["final"]) == {"ljtest", "ljtest2"}
+
+
 def test_fit_lj_pressure_target():
     """pressure_weight > 0: the virial-pressure head joins the loss
     (self-generated ground truth supplies P_target) and training still
@@ -546,6 +589,54 @@ def test_grow_capacity_clears_overflow(synthetic_registry):
     # at maximum capacity (k_max == N) growth must report False
     table.k_max = sys.get_number_of_atoms()
     assert not table.grow_capacity(factor=2.0)
+
+
+def test_fit_rdf_nan_recovery(synthetic_registry, monkeypatch):
+    """A transient non-finite trajectory (one poisoned epoch) must not
+    abandon the fit: fit_rdf restores the last-good snapshot, halves the
+    update scale and retries the epoch (the failure that killed the r4
+    table-mode tpair regrow run at epoch 99 of 150)."""
+    import importlib
+    fr = importlib.import_module("mdgrad_tpu.train.fit_rdf")
+
+    real_make = fr._make_epoch_loss
+    poisoned = {"armed": True}
+
+    def patched_make(*a, **kw):
+        vg, ode = real_make(*a, **kw)
+
+        def wrapped(params, state, aux, ctrl):
+            (loss, (g, last, final_aux)), grads = vg(params, state, aux,
+                                                     ctrl)
+            if poisoned["armed"]:
+                poisoned["armed"] = False
+                last = last._replace(q=jnp.full_like(last.q, jnp.nan))
+            return (loss, (g, last, final_aux)), grads
+
+        return wrapped, ode
+
+    monkeypatch.setattr(fr, "_make_epoch_loss", patched_make)
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 21, "lr": 3e-3,
+        "epsilon": 0.4, "sigma": 0.9, "power": 12,
+        "gaussian_width": 0.1, "n_width": 32, "n_layers": 1,
+        "nonlinear": "SELU",
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 3, "n_sim": 1,
+        "data": ["ljtest"], "val": None, "pair_flag": True,
+        "anneal_flag": "False", "topology_update_freq": 1,
+        "pretrain_iters": 30, "frame_skip": 5, "test_nbins": 64,
+    }
+    logs = []
+    out = fr.fit_rdf(assignments, sys_params, registry=synthetic_registry,
+                     rng=np.random.default_rng(1), log=logs.append)
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 3          # all epochs completed
+    assert np.isfinite(out["objective"])
+    joined = "\n".join(str(m) for m in logs)
+    assert "restored last-good" in joined
+    assert "step_scale -> 0.5" in joined
 
 
 def test_fit_rdf_overflow_regrow(synthetic_registry):
