@@ -1,6 +1,6 @@
 from .integrators import (NVE, NoseHooverChain, MTSNoseHooverChain,
                           NPTBerendsenNHC, NPTMTKNHC, Langevin,
-                          NVEState, NVTState)
+                          NVEState, NVTState, rethermalize)
 from .simulation import Simulation, Simulations
 from .adjoint import make_odeint
 from .tinydiffeq import odeint
@@ -8,6 +8,6 @@ from .isomerization import Isomerization
 
 __all__ = ["NVE", "NoseHooverChain", "MTSNoseHooverChain",
            "NPTMTKNHC", "Langevin",
-           "NVEState", "NVTState",
+           "NVEState", "NVTState", "rethermalize",
            "Simulation", "Simulations", "make_odeint", "odeint",
            "Isomerization"]

@@ -786,3 +786,34 @@ class NPTMTKNHC(NoseHooverChain):
                             cell=cell_new,
                             peps=peps_half + 0.5 * dt * dpeps1,
                             f=f1, fv=jnp.ones(()))
+
+
+def rethermalize(state, kT, masses, rng=None, dim=3):
+    """NaN-recovery rescue: fresh Maxwell-Boltzmann momenta for a
+    finite-position state whose onward trajectory blew up.
+
+    The fitting drivers' recovery path restores a last-good
+    (params, state) snapshot and retries with a smaller update -- but an
+    NHC trajectory is deterministic, so if the blowup is STATE-driven
+    (a hot/near-overlap configuration rather than a bad parameter step)
+    the replay reproduces the identical NaN until the step budget is
+    exhausted (observed: the r4 3-temp tpair multistate run, epoch 185,
+    results/r4_logs/tpair_multi2.log -- four identical failures at
+    step_scale 0.5..0.0625).  Redrawing velocities at the target kT and
+    zeroing the bath momenta (and any cached-force validity flag) keeps
+    the finite positions but makes the retry a genuinely different,
+    cooled trajectory.
+    """
+    from ..system import maxwell_boltzmann_velocities
+    v = maxwell_boltzmann_velocities(np.asarray(masses), float(kT),
+                                     rng=rng)
+    if dim < 3:
+        v[:, dim:] = 0.0
+    upd = {"v": jnp.asarray(v, dtype=state.v.dtype)}
+    if hasattr(state, "pv"):
+        upd["pv"] = jnp.zeros_like(state.pv)
+    if hasattr(state, "fv"):
+        upd["fv"] = jnp.zeros_like(state.fv)
+    if hasattr(state, "peps"):
+        upd["peps"] = jnp.zeros_like(state.peps)
+    return state._replace(**upd)

@@ -48,6 +48,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..md import rethermalize
+
 
 # ---------------------------------------------------------------------------
 # pure reweighting math (jit/vmap/grad-safe)
@@ -216,7 +218,7 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
                 steps_between=20, equil_steps=200, ess_min=0.9,
                 pressure_targets=None, pressure_weight=0.0,
                 dim=3, frame_chunk=FRAME_CHUNK, log=print,
-                on_outer=None):
+                on_outer=None, rng=None):
     """Multi-state DiffTRe: sample with the current params, then take up
     to ``inner_steps`` deterministic gradient steps on the summed
     reweighted loss, resampling when any state's ESS fraction drops
@@ -272,23 +274,36 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
     # non-finite region (observed: r4 warm run, outer 4 -- and a NaN ESS
     # then bypassed the `ess < ess_min` comparison and poisoned the
     # params for the rest of the run).  On any non-finite sample/loss:
-    # revert to the last good params, halve the update scale (applied to
-    # the POST-Adam updates -- Adam is invariant to grad scaling),
-    # rebuild the MD state from the lattice and re-equilibrate.
+    # revert params, OPTIMIZER STATE and the per-sim MD states to the
+    # last good snapshot, rethermalize (fresh MB momenta -- a replay of
+    # the same snapshot is deterministic), halve the update scale
+    # (applied to the POST-Adam updates -- Adam is invariant to grad
+    # scaling) and re-equilibrate.  The r4 warm run (difftre_warm2.log)
+    # showed why reverting params alone is not enough: `sim.state=None`
+    # rebuilt from the LATTICE, which blows up under a deep learned
+    # potential no matter the step scale (outers 4-10 failed
+    # identically), and the un-reverted Adam momentum re-applied the
+    # same bad direction.
+    rng = np.random.default_rng(0) if rng is None else rng
     step_scale = 1.0
     step_scale_min = 1.0 / 64
-    last_good = params
+    last_good = (params, opt_state, [None] * len(sims))
     need_equil = False
 
     def _revert(outer, why):
-        nonlocal params, step_scale, need_equil
-        params = last_good
+        nonlocal params, opt_state, step_scale, need_equil
+        params, opt_state, good_states = last_good
         step_scale *= 0.5
         need_equil = True
-        for sim in sims:
-            sim.state = None
-        log(f"outer {outer:3d} | {why}; reverted params, "
-            f"step_scale -> {step_scale:g}")
+        for i, (sim, st) in enumerate(zip(sims, good_states)):
+            if st is None:
+                sim.state = None   # never sampled cleanly: lattice rebuild
+            else:
+                sim.state = rethermalize(
+                    st, kT_l[i], sim.system.get_masses(), rng=rng,
+                    dim=getattr(sim.system, "dim", 3))
+        log(f"outer {outer:3d} | {why}; reverted params+opt, "
+            f"rethermalized, step_scale -> {step_scale:g}")
 
     for outer in range(int(n_outer)):
         bundles = []
@@ -310,7 +325,7 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
                 break
             continue
         need_equil = False
-        last_good = params
+        last_good = (params, opt_state, [sim.state for sim in sims])
 
         inner_done = 0
         loss = ess = loss0 = None

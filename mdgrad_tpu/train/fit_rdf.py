@@ -511,11 +511,22 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                         "nan_bailout": True, "loss_log": loss_log}
             params, opt_state, md_states = (
                 last_good[0], last_good[1], list(last_good[2]))
+            # fresh MB momenta: a deterministic NHC replay of the
+            # restored snapshot reproduces a STATE-driven blowup
+            # identically (md.integrators.rethermalize docstring)
+            from ..md import rethermalize
+            md_states = [
+                (rethermalize(s,
+                              registry_T_kelvin(registry[t]) * units.kB,
+                              sims[j].system.get_masses(), rng=rng,
+                              dim=sims[j].system.dim), a)
+                for j, ((s, a), t) in enumerate(zip(md_states, all_sys))]
             for sim in sims:
                 sim.params = params
             del js_log[js_entry_len:]
             log(f"epoch {epoch} ({epoch_nan_tag}): non-finite trajectory; "
-                f"restored last-good, step_scale -> {step_scale:g}")
+                f"restored last-good + rethermalized, "
+                f"step_scale -> {step_scale:g}")
             continue
 
         if overflow_js and overflow_policy == "regrow":

@@ -116,6 +116,20 @@ def _states_finite(finals):
     return bool(jnp.isfinite(finals.q).all())
 
 
+def _rethermalize_stack(states, comps, rng):
+    """Fresh MB momenta for every state in the stacked pytree: the
+    recovery path's deterministic replay of a restored snapshot
+    reproduces a STATE-driven blowup identically (the r4 3-temp tpair
+    run died this way at epoch 185 -- md.integrators.rethermalize)."""
+    from ..md import rethermalize
+    per = [rethermalize(jax.tree_util.tree_map(lambda x: x[j], states),
+                        float(comps["kTs"][j]),
+                        comps["systems"][j].get_masses(), rng=rng,
+                        dim=comps["systems"][j].dim)
+           for j in range(len(comps["systems"]))]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per)
+
+
 def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                        registry=None, rng=None, mesh=None):
     """Train one shared potential against every state point concurrently.
@@ -262,8 +276,9 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                         "nan_bailout": True, "loss_log": loss_log,
                         "final": {}}
             params, opt_state, states = last_good
-            log(f"epoch {epoch}: non-finite state; restored last-good, "
-                f"step_scale -> {step_scale:g}")
+            states = _rethermalize_stack(states, comps, rng)
+            log(f"epoch {epoch}: non-finite state; restored last-good "
+                f"+ rethermalized, step_scale -> {step_scale:g}")
             continue
         params, opt_state = new_params, new_opt_state
         last_good = (params, opt_state, finals)

@@ -293,3 +293,46 @@ def test_pressure_table_mode_needs_fresh_aux():
     # the stale-table virial is measurably wrong on this frame --
     # the property that made the fix necessary
     assert abs(P_stale - P_dense) > 1e-3 * max(1.0, abs(P_dense))
+
+
+def test_rethermalize_rescues_state():
+    """md.rethermalize: fresh MB momenta at the target kT, zeroed bath
+    momenta and force-validity flag, positions untouched -- the
+    NaN-recovery rescue for STATE-driven blowups where a deterministic
+    replay of the restored snapshot reproduces the same NaN
+    (r4 tpair-multistate run, epoch 185)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import mdgrad_tpu as mt
+    from mdgrad_tpu import units
+    from mdgrad_tpu.md import rethermalize
+
+    system = mt.System.from_lattice("fcc", 3, 1.679)  # 108 atoms
+    system.set_temperature(1.0 / units.kB, rng=np.random.default_rng(0))
+    pair = mt.PairPotentials(
+        system, mt.potentials.ExcludedVolume(sigma=0.9, epsilon=1.0,
+                                             power=12), cutoff=2.5)
+    integ = mt.NoseHooverChain(pair, system, T=1.0 / units.kB, Q=50.0,
+                               num_chains=5)
+    state, _ = mt.Simulation(system, integ).initial_state()
+    # poison the momenta the way a blowup does: huge KE + hot bath
+    hot = state._replace(v=state.v * 1e6,
+                         pv=jnp.full_like(state.pv, 1e6))
+
+    kT = 1.2
+    new = rethermalize(hot, kT, system.get_masses(),
+                       rng=np.random.default_rng(3))
+    assert bool(jnp.isfinite(new.v).all())
+    assert np.allclose(np.asarray(new.q), np.asarray(hot.q))  # q kept
+    assert float(jnp.abs(new.pv).max()) == 0.0                # bath reset
+    if hasattr(new, "fv"):
+        assert float(new.fv) == 0.0                           # force stale
+    # kinetic temperature ~ kT (108 atoms -> ~14% 1/sqrt(N) noise)
+    m = np.asarray(system.get_masses())[:, None]
+    ke = 0.5 * float(jnp.sum(m * np.asarray(new.v) ** 2))
+    kT_kin = 2 * ke / (3 * len(m))
+    assert abs(kT_kin - kT) / kT < 0.3
+    # draws differ call to call (no deterministic-replay trap)
+    new2 = rethermalize(hot, kT, system.get_masses(),
+                        rng=np.random.default_rng(4))
+    assert not np.allclose(np.asarray(new.v), np.asarray(new2.v))
