@@ -231,8 +231,11 @@ def main():
         else:
             with open(os.path.join(args.run, cand), "rb") as f:
                 blob = pickle.load(f)
-            print(f"candidate: {cand} (epoch {blob['epoch']}, "
-                  f"selection loss {blob['loss']:.4f})", flush=True)
+            sel = (f"selection loss {blob['loss']:.4f}"
+                   if "loss" in blob else
+                   f"engine {blob.get('engine', '?')}")
+            print(f"candidate: {cand} (epoch {blob['epoch']}, {sel})",
+                  flush=True)
             params = blob["params"]
         res = evaluate(params, cand, cfg, use_vacf,
                        eq_epochs=args.eq_epochs,
@@ -241,7 +244,12 @@ def main():
         scores[cand] = (res["total_rdf_mse"]
                         + args.pressure_weight * res["total_P_err"]
                         + vacf_w * res["total_vacf_mse"])
-    with open(os.path.join(args.run, "..", "validation.json"), "w") as f:
+    # fit_rdf_pair runs live in <logdir>/0 -- write beside the logdir;
+    # difftre runs write pkls at the logdir root -- keep it in-run
+    vdir = (os.path.join(args.run, "..")
+            if os.path.basename(os.path.normpath(args.run)) == "0"
+            else args.run)
+    with open(os.path.join(vdir, "validation.json"), "w") as f:
         json.dump(out, f, indent=2)
     for cand, s in sorted(scores.items(), key=lambda kv: kv[1]):
         print(f"combined (rdf + {args.pressure_weight}*|dP| + "
