@@ -174,16 +174,29 @@ def fit_salt(model_path=None, n_cells=3, a=6.2, T_kelvin=2500.0,
     step = jax.jit(lambda g, s, p: (lambda u_s: (
         optax.apply_updates(p, u_s[0]), u_s[1]))(opt.update(g, s, p)))
 
+    # best-model selection: the 60-step epoch loss is a noisy estimator
+    # (the r4 salt run's qscale reached 0.79 near epoch 180 but the
+    # FINAL epoch read 0.734 -- results/salt_r4), so smooth it with an
+    # EMA and keep the pre-update qscale whose smoothed loss is lowest.
     history = []
+    ema = None
+    best = None  # (ema_loss, qscale, epoch)
+    ema_decay, warmup = 0.8, 10
     for ep in range(n_epochs):
         (loss, (last, aux)), grads = vg(params, state, aux, ctrl)
         if not np.isfinite(float(loss)):
             log(f"epoch {ep}: NaN loss, stopping")
             break
+        qs_pre = float(params["coul"]["qscale"])  # params that made `loss`
+        ema = float(loss) if ema is None else (
+            ema_decay * ema + (1 - ema_decay) * float(loss))
+        if ep >= warmup and (best is None or ema < best[0]):
+            best = (ema, qs_pre, ep)
         state = jax.lax.stop_gradient(last)
         params, opt_state = step(grads, opt_state, params)
         qs = float(params["coul"]["qscale"])
-        history.append({"epoch": ep, "loss": float(loss), "qscale": qs})
+        history.append({"epoch": ep, "loss": float(loss), "qscale": qs,
+                        "ema_loss": ema})
         if ep % 10 == 0 or ep == n_epochs - 1:
             log(f"epoch {ep:4d} | loss {float(loss):.5f} | qscale {qs:.4f}"
                 f" (truth {q_true})")
@@ -191,7 +204,14 @@ def fit_salt(model_path=None, n_cells=3, a=6.2, T_kelvin=2500.0,
     result = {"q_true": q_true, "q0": q0,
               "q_final": history[-1]["qscale"] if history else q0,
               "loss_final": history[-1]["loss"] if history else None,
+              "q_best": best[1] if best else
+              (history[-1]["qscale"] if history else q0),
+              "best_epoch": best[2] if best else None,
+              "best_ema_loss": best[0] if best else None,
               "history": history}
+    if best:
+        log(f"best (EMA-selected): qscale {best[1]:.4f} at epoch {best[2]}"
+            f" (truth {q_true})")
     if model_path:
         os.makedirs(model_path, exist_ok=True)
         with open(os.path.join(model_path, "result.json"), "w") as f:

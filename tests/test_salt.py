@@ -81,3 +81,21 @@ def test_charge_gradient_flows_through_trajectory(tiny):
     assert np.isfinite(gq) and abs(gq) > 1e-6
     # core is present but frozen by the driver; its grads exist too
     assert np.isfinite(float(loss_fn(sim.params)))
+
+
+def test_fit_salt_smoke_best_selection(tmp_path):
+    """fit_salt end-to-end on a tiny melt: finishes, writes result.json,
+    and the EMA best-model selection populates q_best/best_epoch (the
+    r4 on-chip run's final-epoch qscale read 8% off truth while the
+    EMA-selected one was 2% off -- the field is the deliverable)."""
+    res = fs.fit_salt(model_path=str(tmp_path), n_cells=2, a=6.0,
+                      q_true=0.8, q0=0.5, n_epochs=13, tau=20,
+                      target_nsim=2, log=lambda *a: None,
+                      rng=np.random.default_rng(5))
+    assert len(res["history"]) == 13
+    assert np.isfinite(res["q_best"]) and np.isfinite(res["q_final"])
+    assert res["best_epoch"] is not None and res["best_epoch"] >= 10
+    assert "ema_loss" in res["history"][0]
+    import os, json
+    with open(os.path.join(tmp_path, "result.json")) as f:
+        assert json.load(f)["q_best"] == res["q_best"]
