@@ -487,7 +487,7 @@ def test_fit_rdf_multistate_nan_recovery(synthetic_registry, monkeypatch):
     assert not out.get("nan_bailout", False)
     assert len(out["loss_log"]) == 2          # both epochs completed
     joined = "\n".join(str(m) for m in logs)
-    assert "restored last-good" in joined
+    assert "restored last-good + rethermalized" in joined
     assert set(out["final"]) == {"ljtest", "ljtest2"}
 
 
@@ -635,7 +635,7 @@ def test_fit_rdf_nan_recovery(synthetic_registry, monkeypatch):
     assert len(out["loss_log"]) == 3          # all epochs completed
     assert np.isfinite(out["objective"])
     joined = "\n".join(str(m) for m in logs)
-    assert "restored last-good" in joined
+    assert "restored last-good + rethermalized" in joined
     assert "step_scale -> 0.5" in joined
 
 
