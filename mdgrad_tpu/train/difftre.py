@@ -218,7 +218,7 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
                 steps_between=20, equil_steps=200, ess_min=0.9,
                 pressure_targets=None, pressure_weight=0.0,
                 dim=3, frame_chunk=FRAME_CHUNK, log=print,
-                on_outer=None, rng=None):
+                on_outer=None, on_best=None, rng=None):
     """Multi-state DiffTRe: sample with the current params, then take up
     to ``inner_steps`` deterministic gradient steps on the summed
     reweighted loss, resampling when any state's ESS fraction drops
@@ -228,6 +228,15 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
     multi-state LJ layout of fit_rdf_pair).  Returns (params, history);
     history rows carry per-state reweighted RDF/pressure estimates of
     the final inner iterate.
+
+    Best-model selection: each outer's uniform-weight loss (``loss0``,
+    computed on FRESH frames sampled by that outer's entry params) is an
+    unbiased estimate of the entry iterate's true loss -- the reweighted
+    inner losses ride a collapsing effective sample and the FINAL
+    iterate is whatever the last inner step left.  When ``on_best`` is
+    given it is called as ``on_best(outer, loss0, entry_params)`` every
+    time a new lowest ``loss0`` is seen, so drivers can checkpoint the
+    best ITERATE rather than the last one.
     """
     import optax
 
@@ -287,6 +296,7 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
     rng = np.random.default_rng(0) if rng is None else rng
     step_scale = 1.0
     step_scale_min = 1.0 / 64
+    best_loss0 = float("inf")
     last_good = (params, opt_state, [None] * len(sims))
     need_equil = False
 
@@ -326,6 +336,7 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
             continue
         need_equil = False
         last_good = (params, opt_state, [sim.state for sim in sims])
+        entry_params = params
 
         inner_done = 0
         loss = ess = loss0 = None
@@ -354,6 +365,9 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
                 log("step_scale exhausted; stopping")
                 break
             continue
+        if on_best is not None and loss0 < best_loss0:
+            best_loss0 = loss0
+            on_best(outer, loss0, entry_params)
         row = {"outer": outer, "loss": loss0, "loss_rw": float(loss),
                "ess": ess, "inner": inner_done, "step_scale": step_scale}
         if aux.get("p_hat") is not None:

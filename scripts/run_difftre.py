@@ -153,11 +153,19 @@ def main():
     assert all(abs(d - dt) < 1e-12 for d in dts), \
         "difftre_fit shares one dt across states"
     def checkpoint_outer(outer, p_now, hist):
-        with open(os.path.join(args.logdir, "best.pkl"), "wb") as f:
+        with open(os.path.join(args.logdir, "last.pkl"), "wb") as f:
             pickle.dump({"params": jax.device_get(p_now),
                          "epoch": outer, "engine": "difftre"}, f)
         with open(os.path.join(args.logdir, "history.json"), "w") as f:
             json.dump(hist, f, indent=2)
+
+    def checkpoint_best(outer, loss0, entry_params):
+        # lowest fresh-frame uniform-weight loss seen: the outer's ENTRY
+        # iterate, estimated out-of-sample (difftre_fit docstring)
+        with open(os.path.join(args.logdir, "best.pkl"), "wb") as f:
+            pickle.dump({"params": jax.device_get(entry_params),
+                         "epoch": outer, "loss": float(loss0),
+                         "engine": "difftre"}, f)
 
     params, history = difftre_fit(
         sims, observers, targets, kTs, cells, opt, dt,
@@ -168,11 +176,16 @@ def main():
                           else None),
         pressure_weight=args.pressure_weight,
         dim=pair_data_dict[args.data[0]].get("dim", 3),
-        on_outer=checkpoint_outer)
+        on_outer=checkpoint_outer, on_best=checkpoint_best)
 
-    with open(os.path.join(args.logdir, "best.pkl"), "wb") as f:
+    with open(os.path.join(args.logdir, "last.pkl"), "wb") as f:
         pickle.dump({"params": jax.device_get(params),
                      "epoch": args.n_outer, "engine": "difftre"}, f)
+    if not os.path.exists(os.path.join(args.logdir, "best.pkl")):
+        # no successful outer ever recorded a best: fall back to last
+        with open(os.path.join(args.logdir, "best.pkl"), "wb") as f:
+            pickle.dump({"params": jax.device_get(params),
+                         "epoch": args.n_outer, "engine": "difftre"}, f)
     with open(os.path.join(args.logdir, "history.json"), "w") as f:
         json.dump(history, f, indent=2)
 

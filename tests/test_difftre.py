@@ -155,16 +155,25 @@ def test_difftre_fit_recovers_epsilon():
     opt = optax.multi_transform(
         {"train": optax.adam(2e-2), "freeze": optax.set_to_zero()},
         {"epsilon": "train", "sigma": "freeze"})
+    bests = []
     params, history = difftre_fit(
         [sim], [obs], [g_target], kTs=[KT], cells=[sys2.get_cell()],
         opt=opt, dt=DT, n_outer=6, inner_steps=25,
         n_frames=32, steps_between=120, equil_steps=400,
-        ess_min=0.7, log=lambda *a: None)
+        ess_min=0.7, log=lambda *a: None,
+        on_best=lambda o, l, p: bests.append((o, l, p)))
 
     eps = float(params["epsilon"])
     assert abs(eps - 1.0) < 0.35 * 0.5, (eps, history)
     # the driver really took deterministic inner steps
     assert sum(h["inner"] for h in history) > 0
+    # best-model selection: fired at outer 0, loss0 strictly improves
+    # across callbacks, and the recorded params are ENTRY iterates
+    # (outer 0's best is the eps=1.35 starting point, pre-update)
+    assert bests and bests[0][0] == 0
+    ls = [b[1] for b in bests]
+    assert all(b < a for a, b in zip(ls, ls[1:]))
+    assert float(bests[0][2]["epsilon"]) == pytest.approx(1.35)
 
 
 def test_difftre_fit_survives_nan_sampling(monkeypatch):
