@@ -171,10 +171,6 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
             return {**p, "nn": {**p["nn"], "kT": kT}}
 
     dt = sys_params["dt"] * _dt_scale(registry[train_list[0]])
-    loss_fn = make_stack_multistate_fit(
-        integ, dt=dt, n_steps=max(int(tau) - 1, 1), nbins=nbins,
-        rdf_range=comps["rdf_range"], mesh=mesh, frame_skip=frame_skip,
-        loss_type="shell", kT_to_params=kT_to_params)
 
     params = integ.init_params()
 
@@ -222,19 +218,36 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
          "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, states, step_scale):
-        (loss, (losses, gs, finals, overflow)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(
-                params, states, comps["cell_lens"], comps["kTs"],
-                comps["targets"], comps["rhos"])
-        updates, opt_state = opt.update(grads, opt_state, params,
-                                        value=loss)
-        # post-Adam update scale: halved by the NaN-recovery path (Adam
-        # is invariant to grad scaling, so this is the lr knob)
-        updates = jax.tree_util.tree_map(lambda u: u * step_scale, updates)
-        params = optax.apply_updates(params, updates)
-        return loss, params, opt_state, losses, gs, finals, overflow
+    def build_train_step():
+        # rebuilt after a capacity regrow: the table k_max is a static
+        # shape baked into the traced program (model.aux_init runs INSIDE
+        # the vmapped epoch body), so unlike fit_rdf -- where the aux is
+        # a train_step ARGUMENT and a bigger table retraces by shape --
+        # growing it here requires a fresh trace of the whole step
+        loss_fn = make_stack_multistate_fit(
+            integ, dt=dt, n_steps=max(int(tau) - 1, 1), nbins=nbins,
+            rdf_range=comps["rdf_range"], mesh=mesh,
+            frame_skip=frame_skip, loss_type="shell",
+            kT_to_params=kT_to_params)
+
+        @jax.jit
+        def train_step(params, opt_state, states, step_scale):
+            (loss, (losses, gs, finals, overflow)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, states, comps["cell_lens"], comps["kTs"],
+                    comps["targets"], comps["rhos"])
+            updates, opt_state = opt.update(grads, opt_state, params,
+                                            value=loss)
+            # post-Adam update scale: halved by the NaN-recovery path
+            # (Adam is invariant to grad scaling, so this is the lr knob)
+            updates = jax.tree_util.tree_map(lambda u: u * step_scale,
+                                             updates)
+            params = optax.apply_updates(params, updates)
+            return loss, params, opt_state, losses, gs, finals, overflow
+
+        return train_step
+
+    train_step = build_train_step()
 
     # stacked initial states (one MB draw per state)
     proto_state = integ.initial_state()
@@ -258,6 +271,19 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
         start_epoch = resume["epoch"] + 1
         log(f"resumed from checkpoint at epoch {resume['epoch']}")
 
+    # overflow_policy (same contract as fit_rdf): 'warn' logs and
+    # continues; 'skip' additionally drops the epoch's parameter update
+    # (gradients from a neighbor-dropping trajectory are corrupt, not
+    # merely noisy); 'regrow' grows the SHARED neighbor capacity
+    # (interface.grow_capacity -- one prototype table serves all states),
+    # restores the epoch's entry snapshot, rebuilds the jitted step (the
+    # table shape is trace-static here) and RETRIES the epoch.  The r4
+    # 3-temp tpair resume died at epoch 186-187 to exactly this: the
+    # 368 K state densified past slack 2.0 and the corrupted forces
+    # NaN'd through every step-halving retry (results/r4_logs/
+    # tpair_multi3.log).
+    overflow_policy = sys_params.get("overflow_policy", "warn")
+    regrow_factor = float(sys_params.get("regrow_factor", 1.5))
     # NaN recovery (same pattern as train/difftre.py): keep a last-good
     # snapshot; on a non-finite epoch restore it, halve the update
     # scale and continue instead of abandoning the fit (the r4 3-temp
@@ -266,6 +292,7 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     last_good = (params, opt_state, states)
     epoch = start_epoch
     while epoch < n_epochs:
+        entry = (params, opt_state, states)
         loss, new_params, new_opt_state, losses, gs, finals, overflow =             train_step(params, opt_state, states, step_scale)
         if not _states_finite(finals):
             step_scale *= 0.5
@@ -280,12 +307,26 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
             log(f"epoch {epoch}: non-finite state; restored last-good "
                 f"+ rethermalized, step_scale -> {step_scale:g}")
             continue
+        over_js = np.nonzero(np.asarray(overflow))[0].tolist()
+        if over_js:
+            log(f"WARNING: neighbor capacity overflow at epoch {epoch} "
+                f"(states {over_js}) -- raise capacity_slack")
+            if overflow_policy == "regrow":
+                if integ.model.grow_capacity(regrow_factor):
+                    params, opt_state, states = entry
+                    train_step = build_train_step()
+                    log(f"regrow: shared neighbor capacity grown; epoch "
+                        f"{epoch} entry restored and retried "
+                        "(recompiles once)")
+                    continue
+                log("regrow: already at maximum capacity -- overflow "
+                    "is unrecoverable here")
+            elif overflow_policy == "skip":
+                log(f"epoch {epoch}: parameter update skipped "
+                    "(overflow_policy='skip')")
+                new_params, new_opt_state = params, opt_state
         params, opt_state = new_params, new_opt_state
         last_good = (params, opt_state, finals)
-        if bool(jnp.any(overflow)):
-            log(f"WARNING: neighbor capacity overflow at epoch {epoch} "
-                f"(states {np.nonzero(np.asarray(overflow))[0].tolist()}) "
-                "-- raise capacity_slack")
         states = jax.lax.stop_gradient(finals)
         loss_log.append(float(loss))
         js_log.append([float(JS_rdf(jnp.asarray(comps['targets'][j]),

@@ -34,6 +34,9 @@ def main():
                         "the model whose fit IS a multi-temperature fit "
                         "(per-state kT grafted inside the vmapped body)")
     p.add_argument("-capacity_slack", type=float, default=2.0)
+    p.add_argument("-overflow_policy", type=str, default="warn",
+                   choices=["warn", "skip", "regrow"])
+    p.add_argument("-regrow_factor", type=float, default=1.5)
     p.add_argument("-pretrain", type=int, default=1000)
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
@@ -64,6 +67,8 @@ def main():
         "data": args.data, "val": args.val, "size": args.size,
         "frame_skip": args.frame_skip, "topology_update_freq": 1,
         "tpair_flag": args.tpair, "capacity_slack": args.capacity_slack,
+        "overflow_policy": args.overflow_policy,
+        "regrow_factor": args.regrow_factor,
         "pretrain_iters": args.pretrain,
     }
     if args.dry_run:

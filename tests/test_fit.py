@@ -491,6 +491,47 @@ def test_fit_rdf_multistate_nan_recovery(synthetic_registry, monkeypatch):
     assert set(out["final"]) == {"ljtest", "ljtest2"}
 
 
+def test_fit_rdf_multistate_overflow_regrow(synthetic_registry):
+    """overflow_policy='regrow' on the MULTISTATE path: the shared
+    prototype table is deliberately undersized, the epoch overflows,
+    capacity regrows (one retrace -- k_max is baked into the vmapped
+    program here, unlike fit_rdf where the aux is a step argument), the
+    entry snapshot is restored and the epoch retried to completion (the
+    failure that killed the r4 3-temp tpair resume at epoch 186,
+    results/r4_logs/tpair_multi3.log)."""
+    from mdgrad_tpu.train.fit_rdf_multi import fit_rdf_multistate
+    registry = dict(synthetic_registry)
+    e2 = dict(registry["ljtest"])
+    e2["T"], e2["rho"] = 1.4, 0.80
+    registry["ljtest2"] = e2
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 11, "lr": 1e-3,
+        "epsilon": 0.4, "sigma": 0.9,
+        "gaussian_width": 0.25, "n_atom_basis": "tiny",
+        "n_filters": "tiny", "n_convolutions": 2,
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 2, "n_sim": 1,
+        "data": ["ljtest", "ljtest2"], "pair_flag": False,
+        "frame_skip": 5, "test_nbins": 64,
+        # slack far below the real neighbor count: overflow at epoch 0
+        "capacity_slack": 0.05,
+        "overflow_policy": "regrow", "regrow_factor": 8.0,
+    }
+    logs = []
+    out = fit_rdf_multistate(assignments, sys_params, registry=registry,
+                             rng=np.random.default_rng(1),
+                             log=logs.append)
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 2          # both epochs completed
+    assert np.isfinite(out["objective"])
+    joined = "\n".join(str(m) for m in logs)
+    assert "neighbor capacity overflow" in joined
+    assert "shared neighbor capacity grown" in joined
+    # the retried epochs must train cleanly after the regrow
+    assert "unrecoverable" not in joined
+
+
 def test_fit_lj_pressure_target():
     """pressure_weight > 0: the virial-pressure head joins the loss
     (self-generated ground truth supplies P_target) and training still
