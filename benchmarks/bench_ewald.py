@@ -28,7 +28,7 @@ TAU = 100
 T_K = 1500.0
 
 
-def build(size, with_ewald):
+def build(size, with_ewald, mode="dense"):
     a = 5.64
     sys_ = _nacl(size, a)
     sys_.set_temperature(T_K, rng=np.random.default_rng(0))
@@ -38,8 +38,9 @@ def build(size, with_ewald):
         sys_, potentials.ExcludedVolume(sigma=2.3, epsilon=0.1, power=9),
         cutoff=r_cut)
     if with_ewald:
-        inter = Stack({"prior": prior,
-                       "coul": EwaldElectrostatics(sys_, q, r_cut=r_cut)})
+        coul = EwaldElectrostatics(sys_, q, r_cut=r_cut, mode=mode,
+                                   capacity_slack=2.0)
+        inter = Stack({"prior": prior, "coul": coul})
     else:
         inter = prior
     integ = NoseHooverChain(inter, sys_, T=T_K * units.kB, Q=50.0,
@@ -66,8 +67,8 @@ def _nacl(size, a):
     return System(xyz, cell=np.eye(3) * a * size, numbers=nums)
 
 
-def bench(size, with_ewald, reps=5):
-    sim, integ = build(size, with_ewald)
+def bench(size, with_ewald, reps=5, mode="dense"):
+    sim, integ = build(size, with_ewald, mode=mode)
     ode = sim.epoch_fn(0.5 * units.fs, TAU)
     state, aux = sim.initial_state()
     ctrl = integ.default_ctrl()
@@ -88,8 +89,8 @@ def bench(size, with_ewald, reps=5):
             jax.block_until_ready(r)
         ms = (time.perf_counter() - t0) / reps * 1e3
         out[tag] = ms
-        print(f"N={n} ewald={with_ewald} {tag}: {ms:.2f} ms/epoch "
-              f"({TAU * 1e3 / ms:.0f} steps/s)", flush=True)
+        print(f"N={n} ewald={with_ewald} mode={mode} {tag}: {ms:.2f} "
+              f"ms/epoch ({TAU * 1e3 / ms:.0f} steps/s)", flush=True)
     return n, out
 
 
@@ -97,5 +98,6 @@ if __name__ == "__main__":
     sizes = [int(a) for a in sys.argv[1:]] or [3, 5]
     print("devices:", jax.devices(), flush=True)
     for size in sizes:
-        for we in (False, True):
-            bench(size, we)
+        bench(size, False)
+        for mode in ("dense", "table"):
+            bench(size, True, mode=mode)

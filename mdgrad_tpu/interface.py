@@ -444,7 +444,8 @@ class EwaldElectrostatics(Interaction):
     """
 
     def __init__(self, system, charges, r_cut=None, accuracy=3.2,
-                 ex_pairs=None, learn_charges=False):
+                 ex_pairs=None, learn_charges=False, mode="dense",
+                 capacity_slack=1.6):
         from .ops import ewald
         check_system(system)
         self._ewald = ewald
@@ -466,6 +467,7 @@ class EwaldElectrostatics(Interaction):
         self.nvecs = ewald.build_kvectors(cm, k_cut)
         self.learn_charges = learn_charges
         n = system.get_number_of_atoms()
+        self.n_atoms = n
         self.extra_mask = None
         self.ex_pairs = None
         if ex_pairs is not None:
@@ -474,18 +476,60 @@ class EwaldElectrostatics(Interaction):
                                  "(elementwise bond re-wrap)")
             self.ex_pairs = jnp.asarray(ex_pairs, dtype=jnp.int32)
             self.extra_mask = topology.pair_index_mask(n, None, ex_pairs)
+        # mode='table': the real-space erfc sum runs over an (N, K)
+        # neighbor table instead of re-paying a dense O(N^2) distance
+        # matrix on top of the short-range term (bench_ewald: the dense
+        # real term dominates the long-range overhead at N=1000).
+        # Exclusions are baked into the table's select_mask so excluded
+        # pairs never occupy slots.
+        if mode == "table" and not diagonal:
+            raise ValueError("mode='table' requires a diagonal cell")
+        self.mode = mode
+        if mode == "table":
+            xyz0 = jnp.asarray(system.get_positions())
+            d, _ = topology.displacement_matrix(xyz0, self.cell0)
+            dist_sq = (d ** 2).sum(-1) + jnp.eye(n) * 1e9
+            within = dist_sq < self.r_cut ** 2
+            if self.extra_mask is not None:
+                within = within & self.extra_mask
+            k0 = int(jnp.max(within.sum(-1)))
+            self.k_max = min(
+                int(np.ceil(max(k0, 1) * capacity_slack / 8) * 8), n)
 
     def init_params(self):
         if self.learn_charges:
             return {"charges": self.charges0}
         return {}
 
+    def grow_capacity(self, factor=1.5):
+        if self.mode != "table":
+            return False
+        new_k = min(int(np.ceil(self.k_max * factor / 8) * 8),
+                    self.n_atoms)
+        if new_k > self.k_max:
+            self.k_max = new_k
+            return True
+        return False
+
+    def aux_init(self, xyz, cell=None):
+        if self.mode != "table":
+            return ()
+        cell = self.cell0 if cell is None else cell
+        return topology.generate_neighbor_table(
+            xyz, self.r_cut, cell, self.k_max, self.extra_mask,
+            store_offsets=False)
+
+    def aux_update(self, xyz, aux, cell=None):
+        return self.aux_init(xyz, cell=cell)
+
     def energy(self, params, xyz, aux, cell=None):
         q = params["charges"] if self.learn_charges else self.charges0
         cl = self.cell0 if cell is None else jnp.asarray(cell)
+        nbrs = aux if self.mode == "table" else None
         return self._ewald.ewald_energy(
             q, xyz, cl, self.nvecs, self.alpha, self.r_cut,
-            extra_mask=self.extra_mask, ex_pairs=self.ex_pairs)
+            extra_mask=self.extra_mask, ex_pairs=self.ex_pairs,
+            nbrs=nbrs)
 
 
 class BondPotentials(Interaction):

@@ -130,6 +130,34 @@ def real_energy(q, xyz, cell, alpha, r_cut, extra_mask=None):
     return jnp.where(mask, u, 0.0).sum()
 
 
+def real_energy_table(q, xyz, cell, alpha, r_cut, nbrs):
+    """erfc-screened pair sum over an (N, K) neighbor table.
+
+    The dense path re-pays an O(N^2) distance matrix on top of whatever
+    the short-range potential already computes; the table gathers only
+    the K in-cutoff neighbors per atom (CLAUDE.md rule 4: gather +
+    K-axis reduction beats dense/scatter once N is large).  Diagonal
+    cells only (elementwise minimum image, offset-free tables).  Each
+    pair appears in both atoms' rows -> 0.5x.  Exclusions are handled
+    at table BUILD time (select_mask), not here.
+    """
+    cl = jnp.diag(cell) if jnp.asarray(cell).ndim == 2 else jnp.asarray(cell)
+    ext = jnp.concatenate([xyz, jnp.zeros_like(xyz[:1])], axis=0)
+    d_raw = xyz[:, None, :] - ext[nbrs.table]
+    # piecewise-constant image choice: stop_gradient keeps forces exact
+    off = jax.lax.stop_gradient(
+        -(d_raw > 0.5 * cl).astype(d_raw.dtype)
+        + (d_raw < -0.5 * cl).astype(d_raw.dtype))
+    d = d_raw + off * cl
+    dist_sq = (d ** 2).sum(-1)
+    mask = nbrs.mask & (dist_sq < r_cut ** 2)
+    safe = jnp.sqrt(jnp.where(mask, dist_sq, 1.0))
+    q_ext = jnp.concatenate([q, jnp.zeros_like(q[:1])])
+    qq = q[:, None] * q_ext[nbrs.table]
+    u = COULOMB * qq * jax.scipy.special.erfc(alpha * safe) / safe
+    return 0.5 * jnp.where(mask, u, 0.0).sum()
+
+
 def self_energy(q, alpha):
     return -COULOMB * alpha / jnp.sqrt(jnp.pi) * (q ** 2).sum()
 
@@ -158,11 +186,18 @@ def exclusion_correction(q, xyz, cell, alpha, pairs):
 
 
 def ewald_energy(q, xyz, cell, nvecs, alpha, r_cut,
-                 extra_mask=None, ex_pairs=None):
+                 extra_mask=None, ex_pairs=None, nbrs=None):
     """Total Ewald electrostatic energy (eV).  ``cell`` is (3,) diagonal
-    lengths or a (3, 3) triclinic matrix (rows = lattice vectors)."""
+    lengths or a (3, 3) triclinic matrix (rows = lattice vectors).
+    ``nbrs`` (an (N, K) NeighborTable) switches the real-space term to
+    the gather path; exclusions must then be baked into the table's
+    select_mask (extra_mask is ignored for the real term)."""
     cell = jnp.asarray(cell)
-    u = (real_energy(q, xyz, cell, alpha, r_cut, extra_mask)
+    if nbrs is not None:
+        u_real = real_energy_table(q, xyz, cell, alpha, r_cut, nbrs)
+    else:
+        u_real = real_energy(q, xyz, cell, alpha, r_cut, extra_mask)
+    u = (u_real
          + reciprocal_energy(q, xyz, cell, nvecs, alpha)
          + self_energy(q, alpha)
          + background_energy(q, cell, alpha))

@@ -365,6 +365,9 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
                 log("step_scale exhausted; stopping")
                 break
             continue
+        # trust-region recovery: grow a halved step scale back slowly
+        # after clean outers (same policy as fit_rdf/fit_rdf_multi)
+        step_scale = min(1.0, step_scale * 1.26)
         if on_best is not None and loss0 < best_loss0:
             best_loss0 = loss0
             on_best(outer, loss0, entry_params)

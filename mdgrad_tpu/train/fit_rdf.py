@@ -504,7 +504,7 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
 
         if epoch_nan_tag is not None:
             step_scale *= 0.5
-            if step_scale < 1 / 16:
+            if step_scale < 1 / 64:
                 log(f"NaN bailout at epoch {epoch} ({epoch_nan_tag}, "
                     "step_scale exhausted)")
                 return {"objective": 5 - (epoch / n_epochs) * 5,
@@ -553,6 +553,10 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                                              jnp.asarray(total_loss),
                                              jnp.asarray(step_scale))
         last_good = (params, opt_state, list(md_states))
+        # trust-region recovery: grow the halved scale back slowly after
+        # clean epochs so one rough patch does not starve every later
+        # retry budget (fit_rdf_multi has the same policy)
+        step_scale = min(1.0, step_scale * 1.26)
         for sim in sims:
             sim.params = params
         loss_log.append(total_loss)

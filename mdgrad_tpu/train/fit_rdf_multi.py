@@ -290,18 +290,25 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     # tpair run died this way at epoch 185 of 500, mid-descent)
     step_scale = 1.0
     last_good = (params, opt_state, states)
+    bailed_at = None
     epoch = start_epoch
     while epoch < n_epochs:
         entry = (params, opt_state, states)
         loss, new_params, new_opt_state, losses, gs, finals, overflow =             train_step(params, opt_state, states, step_scale)
         if not _states_finite(finals):
             step_scale *= 0.5
-            if step_scale < 1 / 16:
-                log(f"NaN bailout at epoch {epoch} "
-                    f"(step_scale exhausted)")
-                return {"objective": 5 - (epoch / n_epochs) * 5,
-                        "nan_bailout": True, "loss_log": loss_log,
-                        "final": {}}
+            if step_scale < 1 / 64:
+                # exhausted: the CURRENT params are dynamically unstable
+                # (momenta redraws + tiny updates all blow up -- the r4
+                # tpair_multi4 run died this way at epoch 186 even with
+                # overflow fixed).  Salvage: fall through to inference
+                # with the last-good snapshot instead of returning
+                # nothing (the trained 180+ epochs are still a model).
+                log(f"NaN bailout at epoch {epoch} (step_scale "
+                    "exhausted); salvaging inference from last-good")
+                params, opt_state, states = last_good
+                bailed_at = epoch
+                break
             params, opt_state, states = last_good
             states = _rethermalize_stack(states, comps, rng)
             log(f"epoch {epoch}: non-finite state; restored last-good "
@@ -327,6 +334,11 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                 new_params, new_opt_state = params, opt_state
         params, opt_state = new_params, new_opt_state
         last_good = (params, opt_state, finals)
+        # trust-region recovery: a rough patch halves step_scale, but a
+        # permanently-shrunk scale starves every LATER retry budget (the
+        # r4 tpair resume entered epoch 186 at 0.5 and had only three
+        # halvings left) -- grow back slowly after each clean epoch
+        step_scale = min(1.0, step_scale * 1.26)
         states = jax.lax.stop_gradient(finals)
         loss_log.append(float(loss))
         js_log.append([float(JS_rdf(jnp.asarray(comps['targets'][j]),
@@ -343,6 +355,9 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     # trained params but never trained on -- the transferability check
     results = {"loss_log": loss_log, "js_log": js_log, "final": {},
                "params": params}
+    if bailed_at is not None:
+        results["nan_bailout"] = True
+        results["bailout_epoch"] = bailed_at
     test_nbins = sys_params.get("test_nbins", 800)
     n_sim = sys_params.get("n_sim", 2)
     total = 0.0

@@ -83,7 +83,8 @@ def main():
     for tag, fin in out.get("final", {}).items():
         print(f"  {tag}: mse {fin['mse']:.4f}")
     if out.get("nan_bailout"):
-        print("NaN bailout -- no inference results")
+        print(f"NaN bailout at epoch {out.get('bailout_epoch')} -- "
+              "inference salvaged from the last-good snapshot")
 
 
 if __name__ == "__main__":

@@ -235,3 +235,51 @@ def test_ewald_under_npt_barostat():
     assert np.isfinite(gq) and abs(gq) > 0
     # stronger Coulomb cohesion shrinks the equilibrium volume
     assert gq < 0
+
+
+def test_table_mode_matches_dense(rng):
+    """mode='table' real-space term == dense: energies and forces agree
+    on a disordered charged configuration (the N=1000 bench's dense
+    O(N^2) real term is the long-range overhead's dominant cost)."""
+    sys_, q = nacl_system()
+    xyz = jnp.asarray(sys_.get_positions()
+                      + 0.1 * rng.standard_normal((8, 3)))
+    dense = EwaldElectrostatics(sys_, q)
+    table = EwaldElectrostatics(sys_, q, mode="table", capacity_slack=2.0)
+    aux = table.aux_init(xyz)
+    u_d = float(dense.energy({}, xyz, ()))
+    u_t = float(table.energy({}, xyz, aux))
+    assert abs(u_d - u_t) < 1e-3 * max(1.0, abs(u_d))
+    g_d = np.asarray(jax.grad(lambda x: dense.energy({}, x, ()))(xyz))
+    g_t = np.asarray(jax.grad(lambda x: table.energy({}, x, aux))(xyz))
+    assert np.allclose(g_d, g_t, atol=5e-3)
+
+
+def test_table_mode_exclusions_and_regrow(rng):
+    """Exclusions baked into the table's select_mask reproduce the dense
+    ex_pairs energy; grow_capacity clears a forced overflow."""
+    from mdgrad_tpu import topology
+    sys_, q = nacl_system()
+    xyz = jnp.asarray(sys_.get_positions())
+    dense = EwaldElectrostatics(sys_, q, ex_pairs=[(0, 4)])
+    table = EwaldElectrostatics(sys_, q, ex_pairs=[(0, 4)], mode="table",
+                                capacity_slack=2.0)
+    aux = table.aux_init(xyz)
+    u_d = float(dense.energy({}, xyz, ()))
+    u_t = float(table.energy({}, xyz, aux))
+    assert abs(u_d - u_t) < 1e-3 * max(1.0, abs(u_d))
+    # regrow: with r_cut above the nn distance (the default L/2*0.99 =
+    # 2.79 sits just under NaCl's 2.82 nn shell) an undersized table
+    # overflows; grow_capacity must clear it and match dense
+    dense4 = EwaldElectrostatics(sys_, q, r_cut=2.85)
+    table4 = EwaldElectrostatics(sys_, q, r_cut=2.85, mode="table",
+                                 capacity_slack=2.0)
+    u_d4 = float(dense4.energy({}, xyz, ()))
+    table4.k_max = 1
+    aux = table4.aux_init(xyz)
+    assert topology.aux_overflow(aux)
+    assert table4.grow_capacity(factor=8.0)
+    aux = table4.aux_init(xyz)
+    assert not topology.aux_overflow(aux)
+    assert abs(float(table4.energy({}, xyz, aux)) - u_d4) \
+        < 1e-3 * max(1.0, abs(u_d4))

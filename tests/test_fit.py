@@ -491,6 +491,44 @@ def test_fit_rdf_multistate_nan_recovery(synthetic_registry, monkeypatch):
     assert set(out["final"]) == {"ljtest", "ljtest2"}
 
 
+def test_fit_rdf_multistate_bailout_salvage(synthetic_registry,
+                                            monkeypatch):
+    """A PERSISTENT non-finite epoch (params dynamically unstable, the
+    r4 tpair_multi4 failure at epoch 186) must exhaust the step-scale
+    budget and then SALVAGE: inference runs from the last-good snapshot
+    instead of returning empty results."""
+    import importlib
+    frm = importlib.import_module("mdgrad_tpu.train.fit_rdf_multi")
+    monkeypatch.setattr(frm, "_states_finite", lambda finals: False)
+    registry = dict(synthetic_registry)
+    e2 = dict(registry["ljtest"])
+    e2["T"], e2["rho"] = 1.4, 0.80
+    registry["ljtest2"] = e2
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 11, "lr": 1e-3,
+        "epsilon": 0.4, "sigma": 0.9,
+        "gaussian_width": 0.25, "n_atom_basis": "tiny",
+        "n_filters": "tiny", "n_convolutions": 2,
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 2, "n_sim": 1,
+        "data": ["ljtest", "ljtest2"], "pair_flag": False,
+        "frame_skip": 5, "test_nbins": 64,
+    }
+    logs = []
+    out = frm.fit_rdf_multistate(assignments, sys_params,
+                                 registry=registry,
+                                 rng=np.random.default_rng(1),
+                                 log=logs.append)
+    assert out.get("nan_bailout") is True
+    assert out["bailout_epoch"] == 0
+    # salvage: inference still produced per-state results
+    assert set(out["final"]) == {"ljtest", "ljtest2"}
+    assert np.isfinite(out["objective"])
+    joined = "\n".join(str(m) for m in logs)
+    assert "salvaging inference from last-good" in joined
+
+
 def test_fit_rdf_multistate_overflow_regrow(synthetic_registry):
     """overflow_policy='regrow' on the MULTISTATE path: the shared
     prototype table is deliberately undersized, the epoch overflows,
