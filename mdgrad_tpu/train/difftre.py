@@ -307,11 +307,16 @@ def difftre_fit(sims, observers, targets, kTs, cells, opt, dt,
         need_equil = True
         for i, (sim, st) in enumerate(zip(sims, good_states)):
             if st is None:
-                sim.state = None   # never sampled cleanly: lattice rebuild
-            else:
-                sim.state = rethermalize(
-                    st, kT_l[i], sim.system.get_masses(), rng=rng,
-                    dim=getattr(sim.system, "dim", 3))
+                # never sampled cleanly: lattice rebuild -- but with
+                # FRESH MB momenta.  `sim.state = None` alone replays
+                # the system's fixed initial velocities, so every retry
+                # of an outer-0 sampling blowup fails identically (the
+                # r4 warm5 run died this way: 5 reverts, all in
+                # equilibration, before any parameter update existed)
+                st, sim.aux = sim.initial_state()
+            sim.state = rethermalize(
+                st, kT_l[i], sim.system.get_masses(), rng=rng,
+                dim=getattr(sim.system, "dim", 3))
         log(f"outer {outer:3d} | {why}; reverted params+opt, "
             f"rethermalized, step_scale -> {step_scale:g}")
 

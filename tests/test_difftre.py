@@ -222,3 +222,56 @@ def test_difftre_fit_survives_nan_sampling(monkeypatch):
     assert any("reverted params" in str(m) for m in logs)
     # and training continued after the revert (later outers in history)
     assert any(h["outer"] > 1 for h in history)
+
+
+def test_difftre_fit_outer0_sampling_blowup_rethermalizes(monkeypatch):
+    """r4 regression (warm5): a non-finite FIRST sampling -- before any
+    good state exists -- must retry from a rethermalized lattice
+    rebuild, not replay the system's fixed initial velocities
+    deterministically until the step budget exhausts."""
+    from mdgrad_tpu.train import difftre as dtre
+
+    sys_ = System.from_lattice("fcc", 2, 1.679)
+    sys_.set_temperature(KT / units.kB, rng=np.random.default_rng(5))
+    pair = PairPotentials(
+        sys_, potentials.LennardJones(sigma=1.0, epsilon=1.2),
+        cutoff=1.6, mode="dense")
+    integ = NoseHooverChain(pair, sys_, T=KT / units.kB, Q=50.0,
+                            num_chains=3, adjoint=False)
+    sim = Simulation(sys_, integ)
+    obs = rdf_obs(sys_, nbins=24, r_range=(0.75, 1.55))
+    frames0 = sample_frames(sim, n_frames=8, steps_between=20, dt=DT,
+                            equil_steps=100)
+    g_target = np.asarray(
+        jax.lax.map(lambda q: obs(q)[2], frames0)).mean(0)
+    sim.state = None   # fresh: no sampled state exists yet
+
+    real_sample = dtre.sample_frames
+    calls = {"n": 0}
+    v_seen = []
+
+    def poisoned(sim_, *a, **kw):
+        calls["n"] += 1
+        v_seen.append(np.asarray(sim_.state.v)
+                      if sim_.state is not None else None)
+        frames = real_sample(sim_, *a, **kw)
+        if calls["n"] == 1:   # the VERY FIRST sampling goes non-finite
+            frames = frames.at[0, 0, 0].set(jnp.nan)
+        return frames
+
+    monkeypatch.setattr(dtre, "sample_frames", poisoned)
+    logs = []
+    opt = optax.adam(1e-2)
+    params, history = dtre.difftre_fit(
+        [sim], [obs], [g_target], kTs=[KT], cells=[sys_.get_cell()],
+        opt=opt, dt=DT, n_outer=3, inner_steps=3,
+        n_frames=8, steps_between=20, equil_steps=60,
+        ess_min=0.5, log=logs.append)
+
+    assert any("reverted params" in str(m) for m in logs)
+    assert len(history) >= 1        # training proceeded after the retry
+    flat = jax.tree_util.tree_leaves(params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+    # the retry entered sampling with a REthermalized state (fresh MB
+    # momenta), not a deterministic replay from sim.state=None
+    assert v_seen[0] is None and v_seen[1] is not None
