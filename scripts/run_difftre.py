@@ -199,8 +199,10 @@ def main():
     np.savetxt(os.path.join(args.logdir, "potential.txt"),
                np.vstack([r_grid, u]), delimiter=",")
     depth = float(u.min())
-    print(f"final loss {history[-1]['loss']:.6f}; recovered depth "
-          f"{depth:.4f} @ r={r_grid[int(u.argmin())]:.3f}", flush=True)
+    last = (f"final loss {history[-1]['loss']:.6f}; " if history
+            else "no completed outers (best.pkl = entry params); ")
+    print(last + f"recovered depth {depth:.4f} "
+          f"@ r={r_grid[int(u.argmin())]:.3f}", flush=True)
 
 
 if __name__ == "__main__":
