@@ -200,6 +200,44 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
         with open(os.path.join(model_path, "assignments.json"), "w") as f:
             json.dump({k: str(v) for k, v in assignments.items()}, f)
 
+    # Well-depth guard (pair/tpair families): the r4 tpair-multistate
+    # fit walked its u(r, kT) well from the pretrained depth to -3.0 eV
+    # (~117 kT) and became dynamically unstable at epoch ~186 -- an
+    # unphysical region no NaN-recovery can mask (BENCH.md tpair
+    # close-out).  With ``u_reg_weight`` > 0 the loss adds
+    # relu(u_floor - min_r u)^2 per state kT, where u_floor =
+    # ``u_floor_mult`` x the pretrained depth: deepening beyond the
+    # floor is penalized, reshaping above it is free.
+    u_reg_weight = float(sys_params.get("u_reg_weight", 0.0))
+    depth_reg = None
+    if u_reg_weight > 0 and (sys_params.get("pair_flag")
+                             or sys_params.get("tpair_flag")):
+        start_r, end_r = comps["rdf_range"]
+        reg_grid = jnp.linspace(start_r + 0.3, assignments["cutoff"],
+                                200)[:, None]
+        tflag = bool(sys_params.get("tpair_flag"))
+        net_f, prior_f = comps["net"], comps["prior"]
+        kTs_j = jnp.asarray(comps["kTs"])
+
+        def depth_of(params, kT):
+            if tflag:
+                u = net_f(params["nn"]["model"], reg_grid, kT)
+            else:
+                u = net_f(params["nn"], reg_grid)
+            u = u.squeeze(-1) + prior_f(params["pair"],
+                                        reg_grid).squeeze(-1)
+            return u.min()
+
+        d0 = jnp.asarray([depth_of(params, kT) for kT in kTs_j])
+        u_floor = float(sys_params.get("u_floor_mult", 1.5)) \
+            * jnp.minimum(d0, 0.0)
+        log(f"depth guard: pretrained depths {np.asarray(d0).round(3)}"
+            f", floors {np.asarray(u_floor).round(3)}")
+
+        def depth_reg(params):
+            d = jnp.stack([depth_of(params, kT) for kT in kTs_j])
+            return (jax.nn.relu(u_floor - d) ** 2).sum()
+
     # optimizer: learnable net only (prior & any kT leaf frozen), Adam +
     # reduce-on-plateau -- same selection as fit_rdf
     def label(path, _):
@@ -230,12 +268,18 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
             frame_skip=frame_skip, loss_type="shell",
             kT_to_params=kT_to_params)
 
+        def objective(params, states):
+            loss, aux_out = loss_fn(
+                params, states, comps["cell_lens"], comps["kTs"],
+                comps["targets"], comps["rhos"])
+            if depth_reg is not None:
+                loss = loss + u_reg_weight * depth_reg(params)
+            return loss, aux_out
+
         @jax.jit
         def train_step(params, opt_state, states, step_scale):
             (loss, (losses, gs, finals, overflow)), grads = \
-                jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, states, comps["cell_lens"], comps["kTs"],
-                    comps["targets"], comps["rhos"])
+                jax.value_and_grad(objective, has_aux=True)(params, states)
             updates, opt_state = opt.update(grads, opt_state, params,
                                             value=loss)
             # post-Adam update scale: halved by the NaN-recovery path

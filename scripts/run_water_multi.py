@@ -37,6 +37,10 @@ def main():
     p.add_argument("-overflow_policy", type=str, default="warn",
                    choices=["warn", "skip", "regrow"])
     p.add_argument("-regrow_factor", type=float, default=1.5)
+    p.add_argument("-u_reg_weight", type=float, default=0.0,
+                   help="well-depth guard weight (pair/tpair): penalize "
+                        "deepening past u_floor_mult x pretrained depth")
+    p.add_argument("-u_floor_mult", type=float, default=1.5)
     p.add_argument("-pretrain", type=int, default=1000)
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
@@ -69,6 +73,8 @@ def main():
         "tpair_flag": args.tpair, "capacity_slack": args.capacity_slack,
         "overflow_policy": args.overflow_policy,
         "regrow_factor": args.regrow_factor,
+        "u_reg_weight": args.u_reg_weight,
+        "u_floor_mult": args.u_floor_mult,
         "pretrain_iters": args.pretrain,
     }
     if args.dry_run:

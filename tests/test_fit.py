@@ -491,6 +491,61 @@ def test_fit_rdf_multistate_nan_recovery(synthetic_registry, monkeypatch):
     assert set(out["final"]) == {"ljtest", "ljtest2"}
 
 
+def test_fit_rdf_multistate_depth_guard(synthetic_registry):
+    """u_reg_weight > 0: the well-depth guard penalizes deepening past
+    u_floor_mult x the pretrained depth (the r4 tpair-multistate fit
+    walked to -3 eV / ~117 kT and became dynamically unstable).  With a
+    floor SHALLOWER than the pretrained well (mult < 1) and a large
+    weight, the first epochs must pull the well UP toward the floor."""
+    import jax.numpy as jnp
+    from mdgrad_tpu.train.fit_rdf_multi import fit_rdf_multistate
+    from mdgrad_tpu.train.fit_rdf import _build_net_and_prior
+    registry = dict(synthetic_registry)
+    e2 = dict(registry["ljtest"])
+    e2["T"], e2["rho"] = 1.4, 0.80
+    registry["ljtest2"] = e2
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 11, "lr": 3e-3,
+        "epsilon": 0.4, "sigma": 0.9, "power": 12,
+        "gaussian_width": 0.1, "n_width": 32, "n_layers": 1,
+        "nonlinear": "SELU",
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 3, "n_sim": 1,
+        "data": ["ljtest", "ljtest2"], "tpair_flag": True,
+        "frame_skip": 5, "test_nbins": 64, "pretrain_iters": 60,
+        "u_reg_weight": 200.0, "u_floor_mult": 0.5,
+    }
+    logs = []
+    out = fit_rdf_multistate(assignments, sys_params, registry=registry,
+                             rng=np.random.default_rng(1),
+                             log=logs.append)
+    assert not out.get("nan_bailout", False)
+    joined = "\n".join(str(m) for m in logs)
+    assert "depth guard" in joined
+    # mechanism: the trained well is SHALLOWER than it started
+    net, prior = _build_net_and_prior(assignments,
+                                      {"tpair_flag": True})
+    from mdgrad_tpu import units
+    r = jnp.linspace(0.8, 2.5, 200)[:, None]
+    kT = registry["ljtest"]["T"] * units.kB
+
+    def depth(p):
+        u = (net(p["nn"]["model"], r, jnp.asarray(kT)).squeeze(-1)
+             + prior(p["pair"], r).squeeze(-1))
+        return float(u.min())
+
+    # floor_mult 0.5 puts the floor SHALLOWER than the pretrained well,
+    # so the penalty is active from epoch 0 and must pull the well up:
+    # the final depth is strictly shallower than the pretrained depth
+    import re
+    d_final = depth(out["params"])
+    m = re.search(r"pretrained depths \[([^\]]+)\]", joined)
+    assert m is not None
+    d0_vals = [float(v) for v in m.group(1).split()]
+    assert d_final > min(d0_vals) + 1e-3
+
+
 def test_fit_rdf_multistate_bailout_salvage(synthetic_registry,
                                             monkeypatch):
     """A PERSISTENT non-finite epoch (params dynamically unstable, the
