@@ -379,6 +379,43 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     zero_grads = jax.jit(
         functools.partial(jax.tree_util.tree_map, jnp.zeros_like))(params)
 
+    # Well-depth guard (pair/tpair families; same policy as
+    # fit_rdf_multi): penalize u(r, kT) deepening past ``u_floor_mult``
+    # x the pretrained depth.  Motivated by the r4 tpair fits walking
+    # to unphysical (-3 eV, ~117 kT) wells and becoming dynamically
+    # unstable (BENCH.md tpair close-out).
+    u_reg_weight = float(sys_params.get("u_reg_weight", 0.0))
+    reg_vg = None
+    if u_reg_weight > 0 and (sys_params.get("pair_flag")
+                             or sys_params.get("tpair_flag")):
+        rr_lo = min(registry[t]["start"] for t in all_sys)
+        reg_grid = jnp.linspace(rr_lo + 0.3, assignments["cutoff"],
+                                200)[:, None]
+        tflag = bool(sys_params.get("tpair_flag"))
+        net_f, prior_f = comps["net"], comps["prior"]
+        kT_list = jnp.asarray([registry_T_kelvin(registry[t]) * units.kB
+                               for t in train_list])
+
+        def _depth_of(p, kT):
+            if tflag:
+                u = net_f(p["nn"]["model"], reg_grid, kT)
+            else:
+                u = net_f(p["nn"], reg_grid)
+            return (u.squeeze(-1)
+                    + prior_f(p["pair"], reg_grid).squeeze(-1)).min()
+
+        d0 = jnp.asarray([_depth_of(params, kT) for kT in kT_list])
+        u_floor = float(sys_params.get("u_floor_mult", 1.5)) \
+            * jnp.minimum(d0, 0.0)
+        log(f"depth guard: pretrained depths {np.asarray(d0).round(3)}, "
+            f"floors {np.asarray(u_floor).round(3)}")
+
+        def _reg(p):
+            d = jnp.stack([_depth_of(p, kT) for kT in kT_list])
+            return u_reg_weight * (jax.nn.relu(u_floor - d) ** 2).sum()
+
+        reg_vg = jax.jit(jax.value_and_grad(_reg))
+
     def _dt_for(tag):
         # (the reference's fit_rdf actually ignores its dt and integrates
         # at the 1 fs default, md.py:73); dt_mult > 1 = the MTS OUTER
@@ -549,6 +586,10 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                 log(f"epoch {epoch}: parameter update skipped "
                     "(overflow_policy='skip')")
         else:
+            if reg_vg is not None:
+                reg_l, reg_g = reg_vg(params)
+                total_loss += float(reg_l)
+                grads_acc = tree_add(grads_acc, reg_g)
             params, opt_state = apply_update(grads_acc, opt_state, params,
                                              jnp.asarray(total_loss),
                                              jnp.asarray(step_scale))
