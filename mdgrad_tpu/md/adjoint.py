@@ -77,7 +77,7 @@ def _finalize_ct(primal, acc):
 
 def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
                 adjoint=True, reverse_step_fn=None,
-                skip_first_refresh=False):
+                skip_first_refresh=False, wrap_fn=None):
     """Build ``odeint(params, state0, aux0, ctrl) -> (traj, final_aux)``.
 
     step_fn:       (params, state, aux, ctrl, i) -> state   (one dt step)
@@ -108,27 +108,71 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
                    With update_freq == 1 it is ignored: avoiding one
                    duplicate (deterministic, identical) build is not worth
                    inserting an XLA conditional into every scan step.
+    wrap_fn:       optional ``(state, aux) -> state`` applying periodic
+                   wrapping to positions (gradient-safe: implementations
+                   shift by a ``stop_gradient`` lattice vector, so the
+                   Jacobian is the identity).  The aux argument lets
+                   dynamic-cell models read their per-state cell from the
+                   aux pytree -- wrap_fn must NOT close over traced values
+                   (it is captured by a ``custom_vjp``, where escaped
+                   tracers are an error).  wrap_fn may only depend on aux
+                   through entries CONSTANT within the epoch (e.g. the
+                   WithDynamicCell cell): the backward replay re-applies
+                   it with the stored post-refresh aux.  Applied at the
+                   SAME cadence and predicate as
+                   the topology refresh, immediately before it, so frozen
+                   minimum-image offsets are always built from the wrapped
+                   representative they are used with.  This keeps long
+                   single-epoch scans inside the single-image convention
+                   (offsets in {-1,0,1}): without it, unwrapped diffusion
+                   past ~1.5 L silently corrupts every minimum-image
+                   distance (the round-4 DiffTRe sampling failure).
 
     Gradients flow to params, state0 and ctrl; not through aux.
     """
     if reverse_step_fn is not None and adjoint:
         return _make_odeint_reverse(step_fn, reverse_step_fn,
-                                    aux_update_fn, n_steps, update_freq)
+                                    aux_update_fn, n_steps, update_freq,
+                                    wrap_fn=wrap_fn)
 
-    def _refresh(i, state, aux):
+    def _advance(i, state, aux):
+        """Wrap (optional) + topology refresh, sharing one predicate."""
         if update_freq == 1:
-            return aux_update_fn(state, aux)
+            if wrap_fn is not None:
+                state = wrap_fn(state, aux)
+            return state, aux_update_fn(state, aux)
         pred = i % update_freq == 0
         if skip_first_refresh:
             pred = pred & (i > 0)
-        return jax.lax.cond(pred,
-                            lambda: aux_update_fn(state, aux),
-                            lambda: aux)
+        if wrap_fn is None:
+            aux = jax.lax.cond(pred,
+                               lambda: aux_update_fn(state, aux),
+                               lambda: aux)
+            return state, aux
+
+        def _do():
+            s = wrap_fn(state, aux)
+            return s, aux_update_fn(s, aux)
+
+        return jax.lax.cond(pred, _do, lambda: (state, aux))
+
+    def _bwd_wrap(i, state, aux):
+        """Replay the forward wrap so the backward vjp re-runs step_fn at
+        the exact state the forward consumed (stored frames are pre-wrap)."""
+        if wrap_fn is None:
+            return state
+        if update_freq == 1:
+            return wrap_fn(state, aux)
+        pred = i % update_freq == 0
+        if skip_first_refresh:
+            pred = pred & (i > 0)
+        return jax.lax.cond(pred, lambda: wrap_fn(state, aux),
+                            lambda: state)
 
     def _forward(params, state0, aux0, ctrl):
         def body(carry, i):
             state, aux = carry
-            aux = _refresh(i, state, aux)
+            state, aux = _advance(i, state, aux)
             new_state = step_fn(params, state, aux, ctrl, i)
             return (new_state, aux), (new_state, aux)
 
@@ -169,7 +213,8 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
             adj, dparams, dctrl = carry
             state_i, aux_i, ct_i, i = xs
             _, vjp = jax.vjp(
-                lambda p, s, c: step_fn(p, s, aux_i, c, i),
+                lambda p, s, c: step_fn(p, _bwd_wrap(i, s, aux_i),
+                                        aux_i, c, i),
                 params, state_i, ctrl)
             dp, ds, dc = vjp(adj)
             dparams = jax.tree_util.tree_map(_ct_add, dparams, dp)
@@ -190,7 +235,7 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
 
 
 def _make_odeint_reverse(step_fn, reverse_step_fn, aux_update_fn, n_steps,
-                         update_freq):
+                         update_freq, wrap_fn=None):
     """True O(1)-memory adjoint: reverse-time state reconstruction.
 
     Forward stores NOTHING but the endpoints (returned traj = [state0,
@@ -214,6 +259,8 @@ def _make_odeint_reverse(step_fn, reverse_step_fn, aux_update_fn, n_steps,
     def _forward(params, state0, aux0, ctrl):
         def body(carry, i):
             state, aux = carry
+            if wrap_fn is not None:
+                state = wrap_fn(state, aux)
             aux = aux_update_fn(state, aux)
             return (step_fn(params, state, aux, ctrl, i), aux), None
 
@@ -243,9 +290,17 @@ def _make_odeint_reverse(step_fn, reverse_step_fn, aux_update_fn, n_steps,
         def body(carry, i):
             cur, aux, adj, dparams, dctrl = carry
             # reconstruct s_i by undoing step i (aux from the current
-            # state, like the reference's backward re-integration)
+            # state, like the reference's backward re-integration).  With
+            # wrap_fn, s_i is the wrapped representative of the forward
+            # state -- physically identical (per-atom lattice shifts) and
+            # exactly what forward's step consumed, since wrap's Jacobian
+            # is the identity and the potential is lattice-periodic.
+            if wrap_fn is not None:
+                cur = wrap_fn(cur, aux)
             aux = aux_update_fn(cur, aux)
             s_i = reverse_step_fn(params, cur, aux, ctrl, i)
+            if wrap_fn is not None:
+                s_i = wrap_fn(s_i, aux)
             aux_i = aux_update_fn(s_i, aux)
             _, vjp = jax.vjp(
                 lambda p, s, c: step_fn(p, s, aux_i, c, i),

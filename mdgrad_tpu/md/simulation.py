@@ -23,11 +23,47 @@ import jax.numpy as jnp
 from .. import units
 
 
-def _wrap_positions(q, cell):
+def _wrap_shift(q, cell):
+    """Lattice shift that takes ``q`` into the primary cell.
+
+    Diagonal cells (1-D ``cell`` = lengths) go elementwise; 3x3 cells
+    project through the inverse at HIGHEST precision (CLAUDE.md rule 1).
+    Shift-based form (``q + shift`` rather than remapping fractions) so
+    the SAME function serves the gradient-safe in-scan wrap (shift under
+    ``stop_gradient``, identity Jacobian) and the host-side epoch-boundary
+    wrap, keeping chunked and single-epoch trajectories bitwise-aligned.
+    """
     cell = jnp.asarray(cell)
+    if cell.ndim == 1:
+        return -jnp.floor(q / cell) * cell
     hp = jax.lax.Precision.HIGHEST
     frac = jnp.matmul(q, jnp.linalg.inv(cell), precision=hp)
-    return jnp.matmul(frac % 1.0, cell, precision=hp)
+    return -jnp.matmul(jnp.floor(frac), cell, precision=hp)
+
+
+def _wrap_positions(q, cell):
+    return q + _wrap_shift(q, cell)
+
+
+def wrap_state_grad_safe(state, static_cell=None):
+    """Gradient-safe periodic wrap of a state's positions.
+
+    The shift is a per-atom lattice vector under ``stop_gradient``: values
+    move into the primary cell, the Jacobian stays the identity, and --
+    because every interaction is lattice-periodic -- gradients equal the
+    unwrapped computation's whenever that one is itself within the
+    single-image convention's validity (|separation| < 1.5 L).  Barostatted
+    states carry their (traced) cell in ``state.cell``; fixed-cell states
+    use ``static_cell``.  This is the in-scan wrap that keeps long
+    single-epoch runs (DiffTRe equilibration, ``simulate(steps=k,
+    frequency=k)``) inside minimum-image validity -- the reference never
+    wraps mid-epoch either (md.py:63-67) and has the same silent failure.
+    """
+    cell = state.cell if hasattr(state, "cell") else static_cell
+    cell = jax.lax.stop_gradient(jnp.asarray(cell))
+    shift = jax.lax.stop_gradient(
+        _wrap_shift(jax.lax.stop_gradient(state.q), cell))
+    return state._replace(q=state.q + shift)
 
 
 class Simulation:
@@ -80,12 +116,32 @@ class Simulation:
                     return integ.step(params, state, aux, ctrl, i * dt,
                                       -dt, method=self.method)
 
+            wrap_fn = None
+            if self.wrap:
+                # in-scan periodic wrap at the topology-refresh cadence:
+                # keeps arbitrarily long single-epoch scans inside the
+                # single-image minimum-image convention (the round-4
+                # DiffTRe sampling failure mode -- unwrapped diffusion
+                # past ~1.5 L silently corrupts distances, then NaNs)
+                static_cell = None
+                if not hasattr(integ, "cell_len0"):
+                    from .. import topology
+                    sc = np.asarray(self.system.get_cell())
+                    # diagonal cells take the cheap elementwise wrap (the
+                    # wrap runs at refresh cadence inside the scan)
+                    static_cell = jnp.asarray(
+                        np.diag(sc) if topology._is_diagonal(sc) else sc)
+
+                def wrap_fn(state, aux):
+                    return wrap_state_grad_safe(state, static_cell)
+
             ode = make_odeint_cached(step_fn, aux_update,
                                      n_steps=max(int(frequency) - 1, 1),
                                      update_freq=integ.topology_update_freq,
                                      adjoint=bool(integ.adjoint),
                                      reverse_step_fn=reverse_step,
-                                     skip_first_refresh=can_prime)
+                                     skip_first_refresh=can_prime,
+                                     wrap_fn=wrap_fn)
             if can_prime:
                 # refresh the force cache once at epoch entry: the
                 # in-scan stepper then reads state.f unconditionally (no
@@ -95,8 +151,14 @@ class Simulation:
                 # that same build (skip_first_refresh), so the cached force
                 # and the in-scan neighbor list always agree
                 raw_ode = ode
+                entry_wrap = wrap_fn
 
                 def ode(params, state, aux, ctrl):
+                    # wrap BEFORE priming: the cached force and the aux it
+                    # is built against must correspond to the same wrapped
+                    # representative the scan's step 0 consumes
+                    if entry_wrap is not None:
+                        state = entry_wrap(state, aux)
                     state, aux = integ.prime_state(params, state, aux)
                     return raw_ode(params, state, aux, ctrl)
 
@@ -124,8 +186,14 @@ class Simulation:
         (parity: reference md.py:60-71)."""
         state = self.state
         if self.wrap:
-            cell = (jnp.diag(state.cell) if hasattr(state, "cell")
-                    else self.system.get_cell())
+            if hasattr(state, "cell"):
+                cell = state.cell            # (3,) -- elementwise path
+            else:
+                from .. import topology
+                c = np.asarray(self.system.get_cell())
+                # same 1-D fast path as the in-scan wrap so chunked and
+                # single-epoch runs stay bitwise-aligned
+                cell = np.diag(c) if topology._is_diagonal(c) else c
             q = _wrap_positions(state.q, cell)
             state = state._replace(q=q)
         return state
@@ -139,15 +207,25 @@ class Simulation:
         once per Simulation -- results after the first overflow epoch are
         untrustworthy until k_max/capacity_slack is raised."""
         from .. import topology
-        if getattr(self, "_overflow_warned", False):
-            return
-        if topology.aux_overflow(self.aux):
+        if not getattr(self, "_overflow_warned", False) \
+                and topology.aux_overflow(self.aux):
             import warnings
             self._overflow_warned = True
             warnings.warn(
                 "neighbor capacity overflow during Simulation.simulate: "
                 "neighbors were dropped and forces are incomplete -- "
                 "raise k_max/capacity/capacity_slack on the interaction",
+                stacklevel=3)
+        if not getattr(self, "_drift_warned", False) \
+                and topology.aux_drift(self.aux):
+            import warnings
+            self._drift_warned = True
+            warnings.warn(
+                "positions drifted outside single-image minimum-image "
+                "validity (|fractional coordinate| past [-0.25, 1.25]) "
+                "during Simulation.simulate: distances may be silently "
+                "wrong -- run with wrap=True (in-scan wrapping) or wrap "
+                "positions externally",
                 stacklevel=3)
 
     def simulate(self, steps=1, dt=1.0 * units.fs, frequency=1, ctrl=None):
@@ -183,9 +261,11 @@ Simulations = Simulation
 
 
 def make_odeint_cached(step_fn, aux_update, n_steps, update_freq, adjoint,
-                       reverse_step_fn=None, skip_first_refresh=False):
+                       reverse_step_fn=None, skip_first_refresh=False,
+                       wrap_fn=None):
     from .adjoint import make_odeint
     return make_odeint(step_fn, aux_update, n_steps,
                        update_freq=update_freq, adjoint=adjoint,
                        reverse_step_fn=reverse_step_fn,
-                       skip_first_refresh=skip_first_refresh)
+                       skip_first_refresh=skip_first_refresh,
+                       wrap_fn=wrap_fn)

@@ -237,3 +237,67 @@ def compute_dihe(xyz, dihes):
     cross2 = jnp.cross(vec3, vec4)
     norm = jnp.sqrt((cross1 ** 2).sum(-1) * (cross2 ** 2).sum(-1) + 1e-20)
     return (cross1 * cross2).sum(-1) / norm
+
+
+def signed_dihedrals(xyz, quads):
+    """Signed dihedral angles phi in (-pi, pi] for (a, b, c, d) quads.
+
+    atan2 formulation (no arccos branch ambiguity, grad-safe at phi=0):
+    b1 = b-a, b2 = c-b, b3 = d-c; phi = atan2((n1 x n2) . b2_hat, n1 . n2)
+    with n1 = b1 x b2, n2 = b2 x b3.  The sign convention matches
+    ``train/fold.py compute_intcoord``'s chain dihedrals (tested against
+    it), so fold losses and this observable are interchangeable; the
+    reference only exports the unsigned cos(phi) (``compute_dihe``,
+    observable.py:181-198).
+    """
+    xyz = jnp.asarray(xyz)
+    a = xyz[..., quads[:, 0], :]
+    b = xyz[..., quads[:, 1], :]
+    c = xyz[..., quads[:, 2], :]
+    d = xyz[..., quads[:, 3], :]
+    b1, b2, b3 = b - a, c - b, d - c
+    n1 = jnp.cross(b1, b2)
+    n2 = jnp.cross(b2, b3)
+    b2n = b2 / jnp.sqrt((b2 ** 2).sum(-1, keepdims=True) + 1e-20)
+    # sign flipped to match fold.py's compute_intcoord convention (it
+    # builds bond vectors tail-to-head reversed: xyz[:-1] - xyz[1:])
+    y = -(jnp.cross(n1, n2) * b2n).sum(-1)
+    x = (n1 * n2).sum(-1)
+    return jnp.arctan2(y, x)
+
+
+def chain_quads(n_atoms):
+    """Consecutive (i, i+1, i+2, i+3) dihedral quads of a linear chain
+    (the polymer-folding topology, train/fold.py)."""
+    i = np.arange(n_atoms - 3)
+    return np.stack([i, i + 1, i + 2, i + 3], axis=-1)
+
+
+class dihedral_distribution:
+    """Soft histogram of signed dihedral angles over fixed quads.
+
+    The reference's trajectory-observable API exports raw per-frame
+    cos(phi) only (``compute_dihe``); this provides the distribution form
+    matching :class:`rdf` / :class:`angle_distribution`: returns
+    ``(bins, normalized counts, phi)`` with the same Gaussian smearing,
+    differentiable in xyz.  ``quads=None`` uses the linear-chain topology
+    (every consecutive quadruple) -- the polymer-folding workload's
+    dihedrals (reference scripts/fold.py:57-71).
+    """
+
+    def __init__(self, n_atoms, nbins=64, angle_range=(-np.pi, np.pi),
+                 quads=None, width=None):
+        start, end = angle_range
+        self.n_atoms = int(n_atoms)
+        self.bins = jnp.linspace(start, end, nbins + 1)
+        self.smear = GaussianSmearing(start=start, stop=end,
+                                      n_gaussians=nbins, width=width)
+        self.quads = jnp.asarray(chain_quads(n_atoms) if quads is None
+                                 else quads)
+
+    def __call__(self, xyz):
+        xyz = jnp.asarray(xyz).reshape(-1, self.n_atoms, 3)
+        phi = signed_dihedrals(xyz, self.quads)          # (F, Q)
+        counts = self.smear(phi[..., None]).sum((0, 1))
+        counts = counts / counts.sum()
+        return self.bins, counts, phi

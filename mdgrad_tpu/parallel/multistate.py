@@ -49,6 +49,17 @@ def _min_image_elem(disp, cell_len):
     return disp + off * cell_len
 
 
+def _wrap_q_grad_safe(q, cell_len):
+    """Gradient-safe periodic wrap for a traced diagonal cell: shift by a
+    ``stop_gradient`` lattice vector (identity Jacobian).  Keeps carried
+    MD states inside single-image minimum-image validity across epochs --
+    the same in-scan wrap as md/simulation.wrap_state_grad_safe, inlined
+    for per-state traced cells."""
+    shift = jax.lax.stop_gradient(
+        -jnp.floor(jax.lax.stop_gradient(q) / cell_len) * cell_len)
+    return q + shift
+
+
 def make_multistate_fit(pair_model, cfg, mesh):
     """Build the dp(state) x sp(atom) sharded multi-state objective.
 
@@ -137,6 +148,12 @@ def make_multistate_fit(pair_model, cfg, mesh):
     def shard_body(params, states, cell_lens, kTs, targets, masses_local):
         def one_state(s, cell_len, kT, target):
             def scan_f(carry, _):
+                # per-step gradient-safe wrap: matches Simulation.epoch_fn
+                # (update_freq=1) so sharded == serial holds even when
+                # atoms cross the box, and long runs never drift out of
+                # minimum-image validity
+                carry = carry._replace(
+                    q=_wrap_q_grad_safe(carry.q, cell_len))
                 return step(params, carry, masses_local, cell_len, kT), None
             final, _ = jax.lax.scan(scan_f, s, None, length=cfg.n_steps)
             g = soft_rdf(final.q, cell_len)
@@ -266,14 +283,31 @@ def make_stack_multistate_fit(integ, dt, n_steps, nbins, rdf_range,
     def aux_up(state, aux):
         return integ.aux_update(state.q, aux)
 
+    # in-scan wrap: same function and cadence as Simulation.epoch_fn,
+    # which keeps the sharded == serial gradient contract and stops
+    # carried states drifting out of minimum-image validity across
+    # epochs (the engine-level fix behind the round-4 DiffTRe failure).
+    # The per-state cell is read from the WithDynamicCell aux -- wrap_fn
+    # must not close over traced values (custom_vjp capture).  A bare
+    # (non-dynamic-cell) model has no cell in its aux; it keeps the
+    # entry-only wrap below (epochs here are tau ~ 50-120 steps, far
+    # inside drift tolerance).
+    wrap_fn = None
+    if hasattr(model, "cell_len0"):
+        def wrap_fn(s, a):
+            return s._replace(q=_wrap_q_grad_safe(s.q, a[0]))
+
     ode = make_odeint(step_fn, aux_up, n_steps,
                       update_freq=integ.topology_update_freq,
                       adjoint=bool(integ.adjoint),
-                      skip_first_refresh=can_prime)
+                      skip_first_refresh=can_prime,
+                      wrap_fn=wrap_fn)
 
     def one_state(params, state, cell_len, kT, target, rho):
         if kT_to_params is not None:
             params = kT_to_params(params, kT)
+        # entry wrap (plain traced code, tracer capture is fine here)
+        state = state._replace(q=_wrap_q_grad_safe(state.q, cell_len))
         aux = model.aux_init(state.q, cell=cell_len)
         if can_prime:
             state, aux = integ.prime_state(params, state, aux,

@@ -38,12 +38,15 @@ class NeighborList(typing.NamedTuple):
     mask:     (P,) bool, True for real pairs
     count:    () int32, number of real pairs
     overflow: () bool, True if capacity was exceeded (results invalid)
+    drift:    () bool, True if positions sat outside single-image
+              minimum-image validity at build time (:func:`image_drift`)
     """
     idx: jnp.ndarray
     offsets: jnp.ndarray
     mask: jnp.ndarray
     count: jnp.ndarray
     overflow: jnp.ndarray
+    drift: typing.Any = False
 
     @property
     def capacity(self):
@@ -98,6 +101,29 @@ def min_image(disp, cell):
     offsets = (-(reduced > 0.5).astype(disp.dtype)
                + (reduced < -0.5).astype(disp.dtype))
     return disp + _mm(offsets, cell), offsets
+
+
+def image_drift(xyz, cell):
+    """Traced bool: positions sit outside single-image min-image validity.
+
+    Every minimum-image path in the library takes offsets from
+    ``(d > 0.5 L)`` comparisons -- offsets in {-1,0,1} -- which is correct
+    only while every pair separation component stays below 1.5 L.  A
+    SUFFICIENT position-space condition is that every (fractional)
+    coordinate lies in [-0.25, 1.25]: then no pair can exceed 1.5 L.  This
+    flags the complement: unwrapped drift has carried some atom far enough
+    that minimum-image distances MAY be silently wrong (the round-4
+    DiffTRe failure mode: 3000-6000-step single-epoch scans integrated
+    unwrapped, crossed ~1.5 L, and forces went wrong without any NaN).
+    O(N) -- cheap enough to ride every neighbor build.
+    """
+    cell = jnp.asarray(cell)
+    if cell.ndim == 1 or _is_diagonal(cell):
+        L = cell if cell.ndim == 1 else jnp.diag(cell)
+        frac = xyz / L
+    else:
+        frac = _mm(xyz, jnp.linalg.inv(cell))
+    return jnp.any((frac < -0.25) | (frac > 1.25))
 
 
 def displacement_matrix(xyz, cell):
@@ -204,7 +230,8 @@ def generate_nbr_list(xyz, cutoff, cell, capacity, select_mask=None):
                             jnp.minimum(j, n - 1)].T,
                     0.0)
     return NeighborList(idx=idx, offsets=off, mask=pair_mask, count=count,
-                        overflow=count > capacity)
+                        overflow=count > capacity,
+                        drift=image_drift(xyz, cell))
 
 
 def generate_nbr_list_topk(xyz, cutoff, cell, k_max, select_mask=None,
@@ -251,7 +278,7 @@ def generate_nbr_list_topk(xyz, cutoff, cell, k_max, select_mask=None,
     # overflow: some atom has more in-cutoff neighbors than k_max
     overflow = (within.sum(-1) > k_max).any()
     return NeighborList(idx=idx, offsets=off, mask=i < n, count=count,
-                        overflow=overflow)
+                        overflow=overflow, drift=image_drift(xyz, cell))
 
 
 class NeighborTable(typing.NamedTuple):
@@ -263,11 +290,13 @@ class NeighborTable(typing.NamedTuple):
               (diagonal cells; see ``store_offsets=False``)
     mask:     (N, K) bool
     overflow: () bool -- some atom exceeded K in-cutoff neighbors
+    drift:    () bool -- positions outside single-image validity at build
     """
     table: jnp.ndarray
     offsets: jnp.ndarray
     mask: jnp.ndarray
     overflow: jnp.ndarray
+    drift: typing.Any = False
 
 
 def generate_neighbor_table(xyz, cutoff, cell, k_max, select_mask=None,
@@ -304,12 +333,13 @@ def generate_neighbor_table(xyz, cutoff, cell, k_max, select_mask=None,
         if not (jnp.asarray(cell).ndim == 1 or _is_diagonal(cell)):
             raise ValueError("store_offsets=False requires a diagonal cell")
         return NeighborTable(table=table, offsets=(), mask=valid,
-                             overflow=overflow)
+                             overflow=overflow,
+                             drift=image_drift(xyz, cell))
     rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k_max))
     off = jnp.where(valid[..., None],
                     jnp.moveaxis(offsets[:, rows, cols], 0, -1), 0.0)
     return NeighborTable(table=table, offsets=off, mask=valid,
-                         overflow=overflow)
+                         overflow=overflow, drift=image_drift(xyz, cell))
 
 
 def count_pairs(xyz, cutoff, cell, select_mask=None):
@@ -368,6 +398,25 @@ def aux_overflow(aux):
     if ov is None:
         return False
     return bool(np.any(np.asarray(ov)))
+
+
+def aux_drift(aux):
+    """True if any neighbor structure in an aux pytree was built from
+    positions outside single-image minimum-image validity (see
+    :func:`image_drift`).  Same traversal/usage pattern as
+    :func:`aux_overflow`: drivers poll at epoch boundaries.  Drift means
+    positions must be (re)wrapped -- distances may already be silently
+    wrong -- whereas overflow means capacity must be raised."""
+    if aux is None or (isinstance(aux, tuple) and len(aux) == 0):
+        return False
+    if isinstance(aux, dict):
+        return any(aux_drift(a) for a in aux.values())
+    if isinstance(aux, (list, tuple)) and not hasattr(aux, "_fields"):
+        return any(aux_drift(a) for a in aux)
+    dr = getattr(aux, "drift", None)
+    if dr is None:
+        return False
+    return bool(np.any(np.asarray(dr)))
 
 
 def aux_overflow_traced(aux):

@@ -335,6 +335,19 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     step_scale = 1.0
     last_good = (params, opt_state, states)
     bailed_at = None
+    # LIVE best-iterate selection (VERDICT r4 item 2): trajectory fits
+    # oscillate around their noise floor and can degrade late (the r4
+    # tpair run's loss rose 5.86 -> 12.5 over its last 8 epochs, and
+    # inference ran from the final iterate).  Track an EMA-smoothed loss
+    # -- a single epoch's loss is one noisy trajectory draw; selecting
+    # its raw minimum rewards estimator noise (the NPT lesson, VERDICT
+    # r4 weak #7) -- and snapshot the ENTRY params (the iterate the loss
+    # actually measured) plus that epoch's final MD states whenever the
+    # EMA makes a new low.
+    ema_alpha = float(sys_params.get("best_ema_alpha", 0.6))
+    ema = None
+    best = {"loss": float("inf"), "params": None, "states": None,
+            "epoch": -1}
     epoch = start_epoch
     while epoch < n_epochs:
         entry = (params, opt_state, states)
@@ -376,6 +389,12 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                 log(f"epoch {epoch}: parameter update skipped "
                     "(overflow_policy='skip')")
                 new_params, new_opt_state = params, opt_state
+        ema = float(loss) if ema is None \
+            else ema_alpha * ema + (1.0 - ema_alpha) * float(loss)
+        if ema < best["loss"]:
+            best = {"loss": ema, "params": params, "states": finals,
+                    "epoch": epoch}
+            ckpt.save_best(epoch, ema, params)
         params, opt_state = new_params, new_opt_state
         last_good = (params, opt_state, finals)
         # trust-region recovery: a rough patch halves step_scale, but a
@@ -397,8 +416,19 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     # 800-bin resolution (same protocol as fit_rdf:420-457); val tags
     # (sys_params['val']) are held-out state points evaluated with the
     # trained params but never trained on -- the transferability check
+    select = sys_params.get("select", "best")
+    if select == "best" and best["params"] is not None:
+        fin = f"{loss_log[-1]:.5f}" if loss_log else "n/a"
+        log(f"inference from LIVE-selected best iterate: epoch "
+            f"{best['epoch']} (ema loss {best['loss']:.5f}); final-epoch "
+            f"loss was {fin}")
+        params, states = best["params"], best["states"]
     results = {"loss_log": loss_log, "js_log": js_log, "final": {},
-               "params": params}
+               "params": params, "best_epoch": best["epoch"],
+               "best_ema_loss": best["loss"],
+               "selected": ("best" if (select == "best"
+                                       and best["params"] is not None)
+                            else "final")}
     if bailed_at is not None:
         results["nan_bailout"] = True
         results["bailout_epoch"] = bailed_at

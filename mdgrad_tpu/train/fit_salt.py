@@ -166,9 +166,15 @@ def fit_salt(model_path=None, n_cells=3, a=6.2, T_kelvin=2500.0,
                 else "frozen")
 
     labels = jax.tree_util.tree_map_with_path(label, params)
+    # cosine lr decay: the r4 run at constant lr 2e-2 overshot q* to 0.88
+    # then oscillated around it without converging (qscale moves the
+    # energy quadratically, so a fixed step near the optimum rings); the
+    # decay lands the endgame (VERDICT r4 weak #8 / item 6)
+    sched = optax.cosine_decay_schedule(lr, max(int(n_epochs), 1),
+                                        alpha=0.05)
     opt = optax.multi_transform(
         {"train": optax.chain(optax.clip_by_global_norm(1.0),
-                              optax.adam(lr)),
+                              optax.adam(sched)),
          "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
     step = jax.jit(lambda g, s, p: (lambda u_s: (

@@ -52,6 +52,12 @@ def main():
                    help="warm-start params (water mode: fit checkpoint)")
     p.add_argument("-eps0", type=float, default=0.7)
     p.add_argument("-sigma0", type=float, default=0.92)
+    p.add_argument("-rdf_weight", type=float, default=1.0,
+                   help="weight of the RDF term that pins the (eps, "
+                        "sigma) EOS degeneracy (reduced mode only)")
+    p.add_argument("-sel_window", type=int, default=10,
+                   help="epochs in the windowed time-average used for "
+                        "loss reporting and best-model selection")
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
     if args.dry_run:
@@ -98,11 +104,13 @@ def main():
         p_fn = jax.jit(jax.vmap(lambda q, v: thermo.pressure(
             truth_int, tp, q, (), v, system.get_masses(),
             system.get_cell(), dim=3)))
-        ps = []
+        ps, truth_frames = [], []
         for _ in range(4):
             traj = nvt_sim.simulate(200, dt=dt, frequency=200)
             ps.append(np.asarray(p_fn(traj.q[::20], traj.v[::20])))
+            truth_frames.append(np.asarray(traj.q[::10]))
         P0 = float(np.mean(np.concatenate(ps)))
+        truth_frames = np.concatenate(truth_frames)
         print(f"P_target({args.data}) = {P0:.4f} (truth NVT at rho="
               f"{rho_target:.4f})", flush=True)
         model = pot_zoo.LennardJones(sigma=args.sigma0,
@@ -154,14 +162,54 @@ def main():
     ctrl = integ.default_ctrl()
     rho_t = jnp.asarray(rho_target)
 
+    # RDF degeneracy-breaker (reduced mode): a density target alone is
+    # EOS-degenerate in (eps, sigma) -- the first r4 run converged to
+    # (0.657, 0.996), a density-matching pair far from the state point's
+    # truth (VERDICT r4 weak #7).  The g(r) of the truth NVT frames (the
+    # same trajectory that defined P_target) pins the length scale; each
+    # NPT frame is histogrammed against its OWN fluctuating cell.
+    rdf_weight = float(args.rdf_weight) if reduced else 0.0
+    if rdf_weight:
+        from mdgrad_tpu.observables import generate_vol_bins
+        from mdgrad_tpu.parallel.multistate import _soft_rdf_frames
+        start_r = float(entry.get("start", 0.75))
+        end_r = float(entry.get("end", 2.5))
+        nbins_r = 100
+        offsets_r = jnp.linspace(start_r, end_r, nbins_r)
+        widths_r = jnp.full(nbins_r, float(offsets_r[1] - offsets_r[0]))
+        cut_b = end_r + 0.5
+        V_r, vol_bins_r, _ = generate_vol_bins(start_r, end_r, nbins_r,
+                                               dim=3)
+        cell0 = jnp.asarray(np.diag(np.asarray(system.get_cell())))
+
+        def _g_of(frames, cells):
+            """Per-frame soft g(r), each frame against its own cell."""
+            g_each = jax.vmap(lambda q, c: _soft_rdf_frames(
+                q[None], c, offsets_r, widths_r, cut_b, vol_bins_r,
+                V_r))(frames, cells)
+            return g_each.mean(0)
+
+        g_tgt = jax.jit(lambda fr: _g_of(
+            fr, jnp.broadcast_to(cell0, (fr.shape[0], 3))))(
+                jnp.asarray(truth_frames))
+        print(f"rdf target from {len(truth_frames)} truth NVT frames "
+              f"({nbins_r} bins on [{start_r}, {end_r}])", flush=True)
+
     def loss_fn(params, state, aux):
         traj, final_aux = ode(params, state, aux, ctrl)
         # mean density over the epoch's second half (volume relaxes)
         vols = jnp.prod(traj.cell[tau // 2:], axis=-1)
         rho_hat = n / vols.mean()
         loss = ((rho_hat - rho_t) / rho_t) ** 2
+        rdf_mse = jnp.zeros(())
+        if rdf_weight:
+            frames = traj.q[tau // 2::4]
+            cells = traj.cell[tau // 2::4]
+            g_hat = _g_of(frames, cells)
+            rdf_mse = ((g_hat - g_tgt) ** 2).mean()
+            loss = loss + rdf_weight * rdf_mse
         last = jax.tree_util.tree_map(lambda x: x[-1], traj)
-        return loss, (rho_hat, last, final_aux)
+        return loss, (rho_hat, rdf_mse, last, final_aux)
 
     vg = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
@@ -173,36 +221,47 @@ def main():
     opt_state = opt.init(params)
 
     state, aux = sim.initial_state()
-    rho_log, loss_log = [], []
-    # best-model selection + patience stop: the density target is
-    # EOS-degenerate in (eps, sigma) -- once on target, continued Adam
-    # steps walk along the degenerate valley on estimator noise and can
-    # drift off it entirely (first r4 run: loss 3.5e-5 at epoch 30,
-    # then monotone sigma drift to 1.69 and rho 1.80 by epoch 149)
+    rho_log, loss_log, rdf_log = [], [], []
+    # Best-model selection + patience stop.  Selection rides a WINDOWED
+    # time-average, not the per-epoch instantaneous loss: rho over one
+    # tau-step epoch fluctuates +-5%, so a raw argmin selects a noise
+    # coincidence (the r4b run's best_loss 1.8e-6 was exactly that --
+    # VERDICT r4 weak #7).  The window mean of the last ``sel_window``
+    # epochs' (rho, rdf_mse) estimates the CURRENT params' ensemble
+    # observables (params move slowly at lr 5e-3); its squared target
+    # error is the selection criterion, valid once the window is full.
+    W = max(int(args.sel_window), 1)
     best = {"loss": float("inf"), "params": params, "epoch": -1,
-            "state": state, "aux": aux}
+            "state": state, "aux": aux, "rho_window": float("nan")}
     patience = 40
     for epoch in range(args.nepochs):
-        (loss, (rho_hat, last, final_aux)), grads = vg(params, state, aux)
+        (loss, (rho_hat, rdf_mse, last, final_aux)), grads = \
+            vg(params, state, aux)
         if not bool(jnp.isfinite(last.q).all()):
             print(f"NaN bailout at epoch {epoch}", flush=True)
             break
         state = jax.lax.stop_gradient(last)
         aux = final_aux
-        if float(loss) < best["loss"]:
-            best = {"loss": float(loss), "params": params, "epoch": epoch,
-                    "state": state, "aux": aux}
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
         rho_log.append(float(rho_hat))
         loss_log.append(float(loss))
+        rdf_log.append(float(rdf_mse))
+        if epoch + 1 >= W:
+            rho_w = float(np.mean(rho_log[-W:]))
+            sel = ((rho_w - rho_target) / rho_target) ** 2 \
+                + rdf_weight * float(np.mean(rdf_log[-W:]))
+            if sel < best["loss"]:
+                best = {"loss": sel, "params": params, "epoch": epoch,
+                        "state": state, "aux": aux, "rho_window": rho_w}
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
         if epoch % 5 == 0 or epoch == args.nepochs - 1:
             extra = ""
             if reduced:
                 extra = (f" | eps {float(params['epsilon']):.4f}"
                          f" sigma {float(params['sigma']):.4f}")
             print(f"epoch {epoch:4d} | loss {float(loss):.6f} | "
-                  f"rho {float(rho_hat):.4f} vs {rho_target:.4f}{extra}",
+                  f"rho {float(rho_hat):.4f} vs {rho_target:.4f} | "
+                  f"rdf_mse {float(rdf_mse):.5f}{extra}",
                   flush=True)
         if epoch - best["epoch"] > patience:
             print(f"early stop at epoch {epoch} (no improvement in "
@@ -211,25 +270,31 @@ def main():
             break
 
     # equilibrated evaluation at the BEST params: re-run the NPT
-    # trajectory without updates and average the density (the per-epoch
-    # rho that selected "best" rides a short 30-step window)
+    # trajectory without updates and average density + rdf over a long
+    # window (16 epochs, first 4 discarded as re-equilibration)
     params = best["params"]
     eval_fn = jax.jit(loss_fn)
     est, ea = best["state"], best["aux"]
-    rhos_eval = []
-    for i in range(8):
-        _, (rho_hat, last, ea) = eval_fn(params, est, ea)
+    rhos_eval, rdfs_eval = [], []
+    for i in range(16):
+        _, (rho_hat, rdf_mse, last, ea) = eval_fn(params, est, ea)
         est = jax.lax.stop_gradient(last)
-        if i >= 3:
+        if i >= 4:
             rhos_eval.append(float(rho_hat))
+            rdfs_eval.append(float(rdf_mse))
     rho_eval = float(np.mean(rhos_eval))
+    rdf_eval = float(np.mean(rdfs_eval))
 
     final_rho = float(np.mean(rho_log[-10:])) if rho_log else float("nan")
     out = {"rho_target": float(rho_target), "rho_final": final_rho,
            "rho_best_eval": rho_eval, "best_epoch": best["epoch"],
            "best_loss": best["loss"],
            "rho_err_pct": 100.0 * abs(rho_eval - rho_target) / rho_target,
-           "P0": float(P0), "rho_log": rho_log, "loss_log": loss_log}
+           "rdf_mse_eval": rdf_eval, "rdf_weight": rdf_weight,
+           "sel_window": W, "rho_window_at_best": best["rho_window"],
+           "selection": "windowed time-average (rho + rdf), live",
+           "P0": float(P0), "rho_log": rho_log, "loss_log": loss_log,
+           "rdf_log": rdf_log}
     if reduced:
         out["params"] = {k: float(v) for k, v in params.items()}
     else:
