@@ -204,12 +204,17 @@ class PairPotentials(Interaction):
                 + (d_raw < -0.5 * cl).astype(d_raw.dtype))
             d = d_raw + off * cl
             dist_sq = (d ** 2).sum(-1)
+            # runtime cutoff re-mask: keeps stale tables (update_freq>1)
+            # and SHARED tables built at a larger cutoff (Stack
+            # share_aux / Verlet skin) exact -- same semantics as the
+            # GNN path's runtime_cutoff (nn/schnet.py)
+            mask = nbrs.mask & (dist_sq < self.cutoff ** 2)
             # safe distance BEFORE the model: u'(r->0)=inf and 0*inf=NaN
             # in the force pass even under masking (where-gradient trap)
-            safe = jnp.sqrt(jnp.where(nbrs.mask, dist_sq, 1.0))
+            safe = jnp.sqrt(jnp.where(mask, dist_sq, 1.0))
             u = self._pair_energy(params, safe[..., None]).squeeze(-1)
             # each pair appears in both atoms' rows
-            return 0.5 * jnp.where(nbrs.mask, u, 0.0).sum()
+            return 0.5 * jnp.where(mask, u, 0.0).sum()
         nbrs = aux
         r = topology.compute_dis(xyz, nbrs.idx, nbrs.offsets, cell)
         u = self._pair_energy(params, r).squeeze(-1)
@@ -580,38 +585,54 @@ class Stack(Interaction):
 
     params and aux are dicts keyed like ``model_dict``; topology refresh
     fans out to children (reference interface.py:382-385).
+
+    ``share_aux={"prior": "nn"}`` makes child "prior" consume child
+    "nn"'s neighbor structure instead of building its own: the shared
+    child's aux slot stays ``()`` and its energy receives the donor's
+    aux.  At large N this removes an entire duplicate topology rebuild
+    per refresh -- e.g. the 4k-atom water stack builds ONE cells-path
+    (N, K) table that feeds both the SchNet convs and the ExcludedVolume
+    prior (identical cutoff), instead of the prior re-deriving neighbors
+    through an O(N^2) sparse-list pass every step.  Donor and sharer
+    must agree on aux format (the (N, K) NeighborTable family); sharers
+    with a smaller cutoff than the donor's build cutoff stay exact
+    because table-mode PairPotentials re-masks by current distance.
     """
 
-    def __init__(self, model_dict):
+    def __init__(self, model_dict, share_aux=None):
         self.models = dict(model_dict)
+        self.share_aux = dict(share_aux or {})
+        for k, donor in self.share_aux.items():
+            if k not in self.models or donor not in self.models:
+                raise ValueError(f"share_aux {k}->{donor}: unknown child")
+            if donor in self.share_aux:
+                raise ValueError("share_aux chains are not supported")
 
     def init_params(self):
         return {k: m.init_params() for k, m in self.models.items()}
 
     def grow_capacity(self, factor=1.5):
         return any([m.grow_capacity(factor)
-                    for m in self.models.values()])
+                    for k, m in self.models.items()
+                    if k not in self.share_aux])
 
     def aux_init(self, xyz, cell=None):
-        if cell is None:
-            return {k: m.aux_init(xyz) for k, m in self.models.items()}
-        return {k: m.aux_init(xyz, cell=cell)
+        kw = {} if cell is None else {"cell": cell}
+        return {k: (() if k in self.share_aux else m.aux_init(xyz, **kw))
                 for k, m in self.models.items()}
 
     def aux_update(self, xyz, aux, cell=None):
-        if cell is None:
-            return {k: m.aux_update(xyz, aux[k])
-                    for k, m in self.models.items()}
-        return {k: m.aux_update(xyz, aux[k], cell=cell)
+        kw = {} if cell is None else {"cell": cell}
+        return {k: (() if k in self.share_aux
+                    else m.aux_update(xyz, aux[k], **kw))
                 for k, m in self.models.items()}
 
     def energy(self, params, xyz, aux, cell=None):
+        kw = {} if cell is None else {"cell": cell}
         total = 0.0
         for k, m in self.models.items():
-            if cell is None:
-                total = total + m.energy(params[k], xyz, aux[k])
-            else:
-                total = total + m.energy(params[k], xyz, aux[k], cell=cell)
+            a = aux[self.share_aux[k]] if k in self.share_aux else aux[k]
+            total = total + m.energy(params[k], xyz, a, **kw)
         return total
 
 

@@ -32,9 +32,18 @@ def main():
     p.add_argument("-sigma", type=float, default=0.9)
     p.add_argument("-cutoff", type=float, default=2.5)
     p.add_argument("-steps", type=int, default=15000)
-    p.add_argument("-chunk", type=int, default=500)
+    p.add_argument("-chunk", type=int, default=500,
+                   help="epoch length; -chunk == -steps replays the "
+                        "round-4 failure mode (one long single-epoch "
+                        "scan, the DiffTRe sample_frames equilibration "
+                        "shape) -- safe only with the in-scan wrap")
     p.add_argument("-seeds", type=int, default=2)
     p.add_argument("-capacity_slack", type=float, default=2.5)
+    p.add_argument("--truth", action="store_true",
+                   help="probe the registry ground-truth potential "
+                        "instead of the saved candidate (sampler "
+                        "control: any blowup is the engine, not the "
+                        "candidate)")
     args = p.parse_args()
 
     import jax
@@ -52,9 +61,11 @@ def main():
                   nonlinear="SELU")
     prior = pot_zoo.LJFamily(epsilon=2.0, sigma=args.sigma, rep_pow=6,
                              attr_pow=3)
-    with open(args.init_pkl, "rb") as f:
-        blob = pickle.load(f)
-    src = blob["params"] if "params" in blob else blob
+    src = None
+    if not args.truth:
+        with open(args.init_pkl, "rb") as f:
+            blob = pickle.load(f)
+        src = blob["params"] if "params" in blob else blob
 
     for tag in args.data:
         entry = pair_data_dict[tag]
@@ -62,19 +73,28 @@ def main():
         for seed in range(args.seeds):
             rng = np.random.default_rng(seed)
             system = get_system(tag, args.size, pair_data_dict, rng=rng)
-            stack = Stack({
-                "pairnn": PairPotentials(
-                    system, net, cutoff=args.cutoff, mode="table",
-                    capacity_slack=args.capacity_slack),
-                "pair": PairPotentials(system, prior, cutoff=args.cutoff),
-            })
+            if args.truth:
+                from mdgrad_tpu.train.fit_rdf_pair import \
+                    resolve_target_pot
+                tp = resolve_target_pot(entry["target_pot"])
+                stack = Stack({"pair": PairPotentials(system, tp,
+                                                      cutoff=args.cutoff)})
+            else:
+                stack = Stack({
+                    "pairnn": PairPotentials(
+                        system, net, cutoff=args.cutoff, mode="table",
+                        capacity_slack=args.capacity_slack),
+                    "pair": PairPotentials(system, prior,
+                                           cutoff=args.cutoff),
+                })
             integ = NoseHooverChain(stack, system,
                                     T=registry_T_kelvin(entry), Q=50.0,
                                     num_chains=5, adjoint=False)
             sim = Simulation(system, integ)
-            params = dict(sim.params)
-            params["pairnn"] = jax.device_put(src["pairnn"])
-            sim.params = params
+            if not args.truth:
+                params = dict(sim.params)
+                params["pairnn"] = jax.device_put(src["pairnn"])
+                sim.params = params
             st, aux = sim.initial_state()
             sim.state = rethermalize(
                 st, registry_T_kelvin(entry) * units.kB,
