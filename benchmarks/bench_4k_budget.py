@@ -29,7 +29,8 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def build(share=False, skin=0.0, update_freq=1, slack=1.6):
+def build(share=False, skin=0.0, update_freq=1, slack=1.6,
+          gather_mode="auto"):
     import jax.numpy as jnp
     from mdgrad_tpu.system import System
     from mdgrad_tpu.nn import SchNet
@@ -46,7 +47,8 @@ def build(share=False, skin=0.0, update_freq=1, slack=1.6):
     sys4.set_temperature(298.0, rng=np.random.default_rng(0))
     gnn4 = SchNet({"n_atom_basis": 128, "n_filters": 128,
                    "n_gaussians": 40, "n_convolutions": 2,
-                   "cutoff": 6.0, "compute_dtype": "bf16"})
+                   "cutoff": 6.0, "compute_dtype": "bf16",
+                   "gather_mode": gather_mode})
     nn = GNNPotentials(sys4, gnn4, cutoff=6.0, nbr_mode="cells",
                        capacity_slack=slack, skin=skin)
     ev = potentials.ExcludedVolume(sigma=2.6, epsilon=0.01, power=12)
@@ -65,11 +67,12 @@ def build(share=False, skin=0.0, update_freq=1, slack=1.6):
 
 
 def time_epoch(tag, share=False, skin=0.0, update_freq=1, slack=1.6,
-               n_rep=3):
+               gather_mode="auto", n_rep=3):
     import jax
     import jax.numpy as jnp
     tau, dt = 52, 0.5 * 0.09822694788464063
-    sys4, sim, integ, stack, obs = build(share, skin, update_freq, slack)
+    sys4, sim, integ, stack, obs = build(share, skin, update_freq, slack,
+                                         gather_mode)
     ode = sim.epoch_fn(dt, tau)
     state, aux = sim.initial_state()
     ctrl = integ.default_ctrl()
@@ -155,6 +158,14 @@ VARIANTS = {
     "share": dict(share=True),
     "share_uf3": dict(share=True, skin=0.45, update_freq=3, slack=1.25),
     "share_skin5": dict(share=True, skin=0.75, update_freq=5, slack=1.25),
+    # aggregation alternatives at N=4096 ('auto' resolves to 'gather'
+    # past ONEHOT_MAX_ATOMS=3500; the r3 fit-epoch ratio onehot/gather
+    # was 1.03 @4000 -- retest under sharing, and test the fused Pallas
+    # kernel whose gathered (N*K, F) tensor never exists in HBM)
+    "share_pallas": dict(share=True, gather_mode="pallas"),
+    "share_onehot": dict(share=True, gather_mode="onehot"),
+    "share_uf3_pl": dict(share=True, skin=0.45, update_freq=3, slack=1.25,
+                         gather_mode="pallas"),
 }
 
 

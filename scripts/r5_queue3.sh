@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Round-5 queue 3: headline-plateau decomposition on the real chip
+# (VERDICT r4 item 4).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p results/r5_logs
+
+if [ -f /tmp/r5q2.pid ]; then
+  while kill -0 "$(cat /tmp/r5q2.pid)" 2>/dev/null; do sleep 30; done
+fi
+
+run() {
+  name=$1; shift
+  echo "=== $name : $(date -u +%H:%M:%S) ===" | tee -a results/r5_logs/queue.log
+  timeout "$TMO" "$@" > "results/r5_logs/$name.log" 2>&1
+  echo "=== $name done rc=$? : $(date -u +%H:%M:%S) ===" | tee -a results/r5_logs/queue.log
+}
+
+TMO=3600
+run bench_headline python benchmarks/bench_headline_r5.py
+
+echo "=== QUEUE3 COMPLETE $(date -u) ===" | tee -a results/r5_logs/queue.log
