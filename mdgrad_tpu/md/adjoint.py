@@ -44,7 +44,9 @@ def _zero_cotangent(pytree):
     def z(v):
         if _is_float(v):
             return jnp.zeros_like(v)
-        return np.zeros(v.shape, dtype=jax.dtypes.float0)
+        # python-scalar leaves (e.g. a NeighborTable built with the
+        # default drift=False) have no .shape
+        return np.zeros(np.shape(v), dtype=jax.dtypes.float0)
     return jax.tree_util.tree_map(z, pytree)
 
 

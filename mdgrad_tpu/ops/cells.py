@@ -256,5 +256,9 @@ def neighbor_table_from_cells(xyz, clist, grid, cell_len, cutoff, k_max):
     # back to atom order
     table = table_cs[clist.slot_of_atom]
     mask = found[clist.slot_of_atom]
+    # drift guard: build_cell_list wraps internally for BINNING, but the
+    # downstream offset-free energy path min-images the RAW positions --
+    # same single-image validity condition as every other builder
     return topo.NeighborTable(table=table, offsets=(), mask=mask,
-                              overflow=overflow)
+                              overflow=overflow,
+                              drift=topo.image_drift(xyz, L))

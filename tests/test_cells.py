@@ -94,6 +94,37 @@ def test_cell_nve_matches_dense_trajectory(sys500):
                                atol=1e-4)
 
 
+def test_gnn_cells_mode_adjoint_epoch_grad(sys500):
+    """Adjoint fwd+bwd through a cells-mode GNN epoch (the 4k fit path).
+
+    Regression: the cells-built NeighborTable left ``drift`` as a python
+    bool, and the adjoint's zero-cotangent builder assumed array leaves
+    -- ``'bool' object has no attribute 'shape'`` on the backward pass
+    of every cells-mode fit (caught by bench_4k_budget on TPU)."""
+    from mdgrad_tpu.nn import SchNet
+    from mdgrad_tpu.interface import GNNPotentials
+    from mdgrad_tpu.md import NoseHooverChain, Simulation
+    gnn = SchNet({"n_atom_basis": 16, "n_filters": 16, "n_gaussians": 8,
+                  "n_convolutions": 1, "cutoff": CUT})
+    pot = GNNPotentials(sys500, gnn, cutoff=CUT, nbr_mode="cells",
+                        k_max=64)
+    integ = NoseHooverChain(pot, sys500, T=1.0 / units.kB, Q=50.0,
+                            num_chains=3, adjoint=True)
+    sim = Simulation(sys500, integ)
+    ode = sim.epoch_fn(0.002, 4)
+    state, aux = sim.initial_state()
+    assert hasattr(aux, "drift")
+
+    def loss_fn(params):
+        traj, _ = ode(params, state, aux, integ.default_ctrl())
+        return (traj.q[-1] ** 2).mean()
+
+    g = jax.grad(loss_fn)(sim.params)
+    total = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert np.isfinite(total) and total > 0
+
+
 def test_gnn_cells_mode_matches_table_mode(sys500):
     """GNNPotentials(nbr_mode='cells') -- the large-N edge builder --
     must produce the same energies and forces as the dense top_k table."""
