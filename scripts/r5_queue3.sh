@@ -17,6 +17,9 @@ run() {
 }
 
 TMO=3600
+run bench_4k_budget2 python benchmarks/bench_4k_budget.py base share \
+  share_uf3 share_skin5 share_pallas share_onehot share_uf3_pl
+
 run bench_headline python benchmarks/bench_headline_r5.py
 
 echo "=== QUEUE3 COMPLETE $(date -u) ===" | tee -a results/r5_logs/queue.log
