@@ -165,9 +165,21 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
         T_kelvin = registry_T_kelvin(entry)
         if str(sys_params.get("anneal_flag")) == "True":
             system.set_temperature(assignments["start_T"], rng=rng)
-        prior_int = PairPotentials(system, prior, cutoff=cutoff,
-                                   mode=sys_params.get("prior_mode",
-                                                       "auto"))
+        # share_prior_aux (GNN stacks): the prior consumes the GNN's
+        # neighbor table via Stack(share_aux=...) instead of rebuilding
+        # its own topology -- at 4096 atoms the prior's O(N^2) sparse
+        # rebuild is 158 ms vs 7.6 ms for the whole cells-path rebuild
+        # (benchmarks/bench_4k_budget.py components), ~80% of the fit
+        # epoch.  Exact: table-mode PairPotentials re-masks by current
+        # distance, so the donor's (cutoff + skin) build stays the
+        # prior's own cutoff at evaluation.
+        share = (bool(sys_params.get("share_prior_aux"))
+                 and not (sys_params.get("pair_flag")
+                          or sys_params.get("tpair_flag")))
+        prior_int = PairPotentials(
+            system, prior, cutoff=cutoff,
+            mode="table" if share else sys_params.get("prior_mode",
+                                                      "auto"))
         # MLP pair models default to the (N, K) table: dense mode's
         # (N, N, hidden) activations are HBM-bound at fit scale
         # (~13x the bytes; tpair epochs ran 28 s dense vs the table's
@@ -185,8 +197,10 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
                 system, net, cutoff=cutoff,
                 nbr_mode=sys_params.get("nbr_mode", "table"),
                 capacity_slack=float(sys_params.get("capacity_slack",
-                                                    1.6)))
-        stack = Stack({"nn": nn_int, "pair": prior_int})
+                                                    1.6)),
+                skin=float(sys_params.get("gnn_skin", 0.0)))
+        stack = Stack({"nn": nn_int, "pair": prior_int},
+                      share_aux={"pair": "nn"} if share else None)
         # Q=50 is the reference convention (md.py:191-193) and the
         # validated default at every fitted scale incl. 4096 atoms
         # (results/water_4k_r3).  For large-N MELT transients the Q/N

@@ -82,6 +82,16 @@ def main():
                    help="GNN edge builder: 'table' (dense O(N^2) "
                         "top_k) or 'cells' (O(N) cell list -- the "
                         ">=4k-atom path, BENCH.md large-N table)")
+    p.add_argument("--share_prior_aux", action="store_true",
+                   help="prior rides the GNN's neighbor table "
+                        "(Stack share_aux) -- removes the prior's own "
+                        "O(N^2) topology rebuild from every refresh")
+    p.add_argument("-gnn_skin", type=float, default=0.0,
+                   help="Verlet skin on the GNN edge build; pair with "
+                        "-update_freq so no atom moves > skin/2 "
+                        "between rebuilds")
+    p.add_argument("-update_freq", type=int, default=1,
+                   help="topology refresh cadence (steps)")
     args = p.parse_args()
 
     if args.pair or args.tpair:
@@ -108,7 +118,10 @@ def main():
         "n_epochs": args.nepochs, "n_sim": args.nsim,
         "data": args.data, "val": args.val, "size": args.size,
         "anneal_flag": "False", "pair_flag": args.pair,
-        "tpair_flag": args.tpair, "topology_update_freq": 1,
+        "tpair_flag": args.tpair,
+        "topology_update_freq": args.update_freq,
+        "share_prior_aux": args.share_prior_aux,
+        "gnn_skin": args.gnn_skin,
         "capacity_slack": args.capacity_slack,
         "nbr_mode": args.nbr_mode,
         "mts_inner": args.mts,
