@@ -22,4 +22,12 @@ run bench_4k_budget2 python benchmarks/bench_4k_budget.py base share \
 
 run bench_headline python benchmarks/bench_headline_r5.py
 
+# item-3 done-criterion second half: the 4k fit result must be
+# unchanged under the shared-aux config (r3 protocol: 300 epochs,
+# cells edges, pallas RDF, frame_skip 1 -> MSE 0.00137)
+TMO=7200
+run water_4k_share python scripts/run_water.py -size 8 -nbr_mode cells \
+  -rdf_backend pallas -frame_skip 1 -nepochs 300 --share_prior_aux \
+  -data H20_298K_redd -logdir results/water_4k_share_r5
+
 echo "=== QUEUE3 COMPLETE $(date -u) ===" | tee -a results/r5_logs/queue.log
