@@ -57,7 +57,7 @@ def _zero_accumulator(pytree):
     def z(v):
         if _is_float(v):
             return jnp.zeros_like(v)
-        return jnp.zeros(v.shape, dtype=jnp.float32)
+        return jnp.zeros(np.shape(v), dtype=jnp.float32)
     return jax.tree_util.tree_map(z, pytree)
 
 
