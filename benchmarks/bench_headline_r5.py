@@ -93,11 +93,28 @@ def run(tag, tau=TAU, rdf_loss=True, n_rep=5, **kw):
     l, g = compiled(sim.params)
     jax.block_until_ready(l)
     t_compile = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        l, g = compiled(sim.params)
-    jax.block_until_ready(l)
-    el = (time.perf_counter() - t0) / n_rep
+    # per-call timing on PERTURBED inputs: the first harness version
+    # timed a loop of byte-identical (executable, args) calls and blocked
+    # only on the last result -- the 'frozen' variant came back at an
+    # impossible 0.1 ms/epoch (467k steps/s, 5x the chip's FLOP roof),
+    # i.e. repeated identical requests were being collapsed somewhere
+    # down the axon tunnel.  Nudging one param leaf per rep makes every
+    # call unique, and blocking per call gives honest wall times.
+    def nudged(i):
+        eps = np.float32(1e-7) * (i + 1)
+        return jax.tree_util.tree_map(
+            lambda x: x + eps if (hasattr(x, "dtype")
+                                  and jnp.issubdtype(x.dtype, jnp.floating))
+            else x, sim.params)
+
+    times = []
+    for i in range(n_rep):
+        p = jax.block_until_ready(nudged(i))
+        t0 = time.perf_counter()
+        li, gi = compiled(p)
+        jax.block_until_ready((li, gi))
+        times.append(time.perf_counter() - t0)
+    el = float(np.median(times))
     sps = (tau - 1) / el
     extra = ""
     try:
@@ -123,6 +140,15 @@ VARIANTS = {
     "frozen": dict(share=True, update_freq=60),
     "noobs": dict(share=True, rdf_loss=False),
     "tau104": dict(share=True, tau=104),
+    # round-2 probe set: the first sweep showed share_aux HURTS at N=512
+    # (table-gather prior loses to dense O(N^2) math, CLAUDE.md rule 5),
+    # so re-test the skin/update-freq lever with the DENSE prior kept
+    "uf2": dict(skin=0.3, update_freq=2),
+    "uf4": dict(skin=0.6, update_freq=4),
+    "uf8": dict(skin=1.2, update_freq=8),
+    "frozen_dense": dict(update_freq=60),
+    "noobs_dense": dict(rdf_loss=False),
+    "tau104_dense": dict(tau=104),
 }
 
 

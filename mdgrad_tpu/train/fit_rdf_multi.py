@@ -247,12 +247,26 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
         return "frozen"
 
     labels = jax.tree_util.tree_map_with_path(label, params)
+    # Plateau schedule: reduce_on_plateau compares against the GLOBAL
+    # best loss, so a transient spike after a lucky low epoch keeps
+    # firing forever -- the r5 tpair rerun spiked at epochs 100-125 and
+    # the schedule collapsed the lr to min_scale=1e-4, freezing the fit
+    # at a flat plateau for its last 150 epochs
+    # (results/r5_logs/tpair_multi_r5.log).  Defend with (a) a cooldown
+    # so consecutive firings are spaced, (b) accumulation over several
+    # epochs so one noisy trajectory draw can't trigger or veto a
+    # firing, and (c) a min_scale that keeps late-run learning alive.
     opt = optax.multi_transform(
         {"train": optax.chain(
             optax.clip_by_global_norm(assignments.get("grad_clip", 10.0)),
             optax.adam(assignments["lr"]),
             optax.contrib.reduce_on_plateau(
-                factor=0.5, patience=25, min_scale=1e-4, atol=1e-5)),
+                factor=0.5,
+                patience=int(sys_params.get("plateau_patience", 30)),
+                cooldown=int(sys_params.get("plateau_cooldown", 30)),
+                accumulation_size=int(sys_params.get("plateau_accum", 5)),
+                min_scale=float(sys_params.get("plateau_min_scale", 0.05)),
+                atol=1e-5)),
          "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
 
@@ -417,6 +431,7 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     # (sys_params['val']) are held-out state points evaluated with the
     # trained params but never trained on -- the transferability check
     select = sys_params.get("select", "best")
+    final_params, final_states = params, states
     if select == "best" and best["params"] is not None:
         fin = f"{loss_log[-1]:.5f}" if loss_log else "n/a"
         log(f"inference from LIVE-selected best iterate: epoch "
@@ -434,79 +449,130 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
         results["bailout_epoch"] = bailed_at
     test_nbins = sys_params.get("test_nbins", 800)
     n_sim = sys_params.get("n_sim", 2)
-    total = 0.0
     val_list = list(sys_params.get("val") or [])
     val_systems = {t: get_system(t, sys_params["size"], registry, rng=rng)
                    for t in val_list}
-    for j, tag in enumerate(train_list + val_list):
-        if tag in val_systems:
-            system = val_systems[tag]
-            state_j = None
-        else:
-            system = comps["systems"][j]
-            state_j = jax.tree_util.tree_map(lambda x: x[j], states)
-        cutoff = assignments["cutoff"]
-        prior_int = PairPotentials(system, comps["prior"], cutoff=cutoff)
-        p_infer = params
-        if sys_params.get("tpair_flag"):
-            from ..interface import TPairPotentials
-            nn_int = TPairPotentials(system, comps["net"],
-                                     registry_T_kelvin(registry[tag]),
-                                     cutoff=cutoff)
-            # evaluate u(r, kT) at THIS tag's temperature (params carry
-            # one shared kT leaf; training grafts per state, so must
-            # inference)
-            p_infer = {**params, "nn": {**params["nn"],
-                                        "kT": jnp.asarray(nn_int.kT0)}}
-        elif sys_params.get("pair_flag"):
-            nn_int = PairPotentials(system, comps["net"], cutoff=cutoff)
-        else:
-            nn_int = GNNPotentials(system, comps["net"], cutoff=cutoff)
-        stack_j = Stack({"nn": nn_int, "pair": prior_int})
-        integ_j = NoseHooverChain(stack_j, system,
-                                  T=registry_T_kelvin(registry[tag]),
-                                  Q=50.0, num_chains=5, adjoint=False)
-        sim = Simulation(system, integ_j, params=p_infer)
-        if state_j is not None:
-            sim.state = state_j
-            sim.aux = integ_j.aux_init(state_j.q)
-            frames = [np.asarray(state_j.q)]
-        else:
-            # held-out state: equilibrate from the lattice first
-            sim.simulate(steps=300, dt=dt, frequency=100)
-            frames = []
-        last_good = (sim.state, sim.aux)
-        for _ in range(n_sim):
-            traj = sim.simulate(steps=100, dt=dt, frequency=25)
-            f = np.asarray(traj.q[-1])
-            if np.isfinite(f).all():
-                frames.append(f)
-                last_good = (sim.state, sim.aux)
+    cutoff = assignments["cutoff"]
+
+    def infer_all(params, states):
+        """Rollout inference for every tag with the given iterate.
+
+        Returns (final, total, all_ok): per-tag results, the summed
+        train-tag mse, and whether every tag produced at least one
+        finite frame.  A tag whose rollouts ALL diverge gets mse=nan
+        instead of crashing the driver (the r5 tpair rerun died in
+        np.vstack on a zero-frame held-out state,
+        results/r5_logs/tpair_multi_r5.log)."""
+        final, total, all_ok = {}, 0.0, True
+        for j, tag in enumerate(train_list + val_list):
+            if tag in val_systems:
+                system = val_systems[tag]
+                state_j = None
             else:
-                log(f"inference rollout diverged for {tag}; frame "
-                    "skipped, restarting from last good state")
-                sim.state, sim.aux = last_good
-        x, g_obs, obs = get_observer(system, tag, test_nbins, registry)
-        g_sim = np.mean([np.asarray(obs(jnp.asarray(f))[2])
-                         for f in frames], axis=0)
-        mse = float(((np.asarray(g_obs) - g_sim) ** 2).mean())
-        results["final"][tag] = {"r": x, "g_sim": g_sim,
-                                 "g_obs": np.asarray(g_obs), "mse": mse,
-                                 "held_out": tag in val_systems}
-        if tag in val_systems:
-            results.setdefault("val_mse", {})[tag] = mse
+                system = comps["systems"][j]
+                state_j = jax.tree_util.tree_map(lambda x: x[j], states)
+            prior_int = PairPotentials(system, comps["prior"],
+                                       cutoff=cutoff)
+            p_infer = params
+            if sys_params.get("tpair_flag"):
+                from ..interface import TPairPotentials
+                nn_int = TPairPotentials(system, comps["net"],
+                                         registry_T_kelvin(registry[tag]),
+                                         cutoff=cutoff)
+                # evaluate u(r, kT) at THIS tag's temperature (params
+                # carry one shared kT leaf; training grafts per state,
+                # so must inference)
+                p_infer = {**params, "nn": {**params["nn"],
+                                            "kT": jnp.asarray(nn_int.kT0)}}
+            elif sys_params.get("pair_flag"):
+                nn_int = PairPotentials(system, comps["net"],
+                                        cutoff=cutoff)
+            else:
+                nn_int = GNNPotentials(system, comps["net"], cutoff=cutoff)
+            stack_j = Stack({"nn": nn_int, "pair": prior_int})
+            integ_j = NoseHooverChain(stack_j, system,
+                                      T=registry_T_kelvin(registry[tag]),
+                                      Q=50.0, num_chains=5, adjoint=False)
+            sim = Simulation(system, integ_j, params=p_infer)
+            if state_j is not None:
+                sim.state = state_j
+                sim.aux = integ_j.aux_init(state_j.q)
+                frames = [np.asarray(state_j.q)]
+            else:
+                # held-out state: equilibrate from the lattice first,
+                # and GATE on finiteness -- an unguarded divergent
+                # equilibration poisons last_good, so every later
+                # "restart from last good" restarts from NaN
+                for attempt in range(3):
+                    sim.simulate(steps=300, dt=dt, frequency=100)
+                    if np.isfinite(np.asarray(sim.state.q)).all():
+                        break
+                    log(f"held-out equilibration diverged for {tag} "
+                        f"(attempt {attempt}); rebuilding from the "
+                        "lattice with fresh momenta")
+                    system = get_system(tag, sys_params["size"],
+                                        registry, rng=rng)
+                    sim = Simulation(system, integ_j, params=p_infer)
+                frames = []
+            last_good = (sim.state, sim.aux)
+            for _ in range(n_sim):
+                traj = sim.simulate(steps=100, dt=dt, frequency=25)
+                f = np.asarray(traj.q[-1])
+                if np.isfinite(f).all():
+                    frames.append(f)
+                    last_good = (sim.state, sim.aux)
+                else:
+                    log(f"inference rollout diverged for {tag}; frame "
+                        "skipped, restarting from last good state")
+                    sim.state, sim.aux = last_good
+            x, g_obs, obs = get_observer(system, tag, test_nbins,
+                                         registry)
+            g_obs = np.asarray(g_obs)
+            if frames:
+                g_sim = np.mean([np.asarray(obs(jnp.asarray(f))[2])
+                                 for f in frames], axis=0)
+                mse = float(((g_obs - g_sim) ** 2).mean())
+            else:
+                log(f"inference produced NO finite frames for {tag}; "
+                    "mse recorded as nan")
+                g_sim = np.full_like(g_obs, np.nan)
+                mse = float("nan")
+                all_ok = False
+            final[tag] = {"r": x, "g_sim": g_sim, "g_obs": g_obs,
+                          "mse": mse, "held_out": tag in val_systems}
+            if tag not in val_systems:
+                total += mse
+        return final, total, all_ok
+
+    final, total, all_ok = infer_all(params, states)
+    if not all_ok and results["selected"] == "best":
+        # the selected iterate cannot even be rolled out on some state:
+        # fall back to the final-epoch iterate rather than reporting a
+        # divergent model as the run's product
+        log("selected best iterate diverged at inference; falling back "
+            "to the final-epoch iterate")
+        final_f, total_f, ok_f = infer_all(final_params, final_states)
+        if ok_f:
+            final, total = final_f, total_f
+            results["selected"] = "final-fallback"
+            results["params"] = final_params
         else:
-            total += mse
-        if model_path:
-            np.savetxt(os.path.join(model_path, f"rdf_{tag}.csv"),
-                       np.vstack([x, g_sim]), delimiter=",")
+            log("final-epoch iterate also diverged at inference; "
+                "keeping the best-iterate results")
+    results["final"] = final
     results["objective"] = total
+    for tag, fin in final.items():
+        if fin["held_out"]:
+            results.setdefault("val_mse", {})[tag] = fin["mse"]
     if model_path:
+        for tag, fin in final.items():
+            np.savetxt(os.path.join(model_path, f"rdf_{tag}.csv"),
+                       np.vstack([fin["r"], fin["g_sim"]]), delimiter=",")
         np.savetxt(os.path.join(model_path, "loss.csv"),
                    np.asarray(loss_log))
         from .plots import plot_rdfs, plot_loss
         plot_loss(loss_log, model_path)
-        for tag, fin in results["final"].items():
+        for tag, fin in final.items():
             plot_rdfs(fin["r"], fin["g_obs"], fin["g_sim"],
                       f"rdf_{tag}_final", model_path, pname="final")
     return results

@@ -839,3 +839,66 @@ def test_fit_rdf_overflow_regrow(synthetic_registry):
     # after the regrow the fit must actually train (updates applied):
     # the last epoch must NOT be a skipped one
     assert "epoch 3: parameter update skipped" not in joined
+
+
+def test_fit_rdf_multistate_inference_divergence_guard(synthetic_registry,
+                                                       monkeypatch,
+                                                       tmp_path):
+    """Inference whose rollouts ALL diverge on a held-out state must not
+    crash the driver (the r5 tpair rerun died in np.vstack on a
+    zero-frame 338 K state, results/r5_logs/tpair_multi_r5.log): the tag
+    gets mse=nan, the selected-best iterate falls back to final, the
+    held-out equilibration is retried with fresh momenta, and the CSVs
+    still get written."""
+    import importlib
+    import jax
+    frm = importlib.import_module("mdgrad_tpu.train.fit_rdf_multi")
+    real_sim = frm.Simulation
+
+    class PoisonedSim(real_sim):
+        """Every rollout's final frame and state q diverge."""
+
+        def simulate(self, *a, **kw):
+            traj = real_sim.simulate(self, *a, **kw)
+            self.state = self.state._replace(
+                q=jnp.full_like(self.state.q, jnp.nan))
+            return traj._replace(q=jnp.full_like(traj.q, jnp.nan))
+
+    monkeypatch.setattr(frm, "Simulation", PoisonedSim)
+    registry = dict(synthetic_registry)
+    e2 = dict(registry["ljtest"])
+    e2["T"], e2["rho"] = 1.4, 0.80
+    registry["ljtest2"] = e2
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 11, "lr": 1e-3,
+        "epsilon": 0.4, "sigma": 0.9,
+        "gaussian_width": 0.25, "n_atom_basis": "tiny",
+        "n_filters": "tiny", "n_convolutions": 2,
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 2, "n_sim": 1,
+        "data": ["ljtest"], "val": ["ljtest2"], "pair_flag": False,
+        "frame_skip": 5, "test_nbins": 64,
+    }
+    logs = []
+    out = frm.fit_rdf_multistate(assignments, sys_params,
+                                 registry=registry,
+                                 model_path=str(tmp_path),
+                                 rng=np.random.default_rng(1),
+                                 log=logs.append)
+    joined = "\n".join(str(m) for m in logs)
+    # the held-out state produced zero finite frames -> nan mse, no crash
+    assert "NO finite frames for ljtest2" in joined
+    assert np.isnan(out["val_mse"]["ljtest2"])
+    assert np.isnan(out["final"]["ljtest2"]["mse"])
+    # the divergent equilibration was retried with fresh momenta
+    assert "held-out equilibration diverged for ljtest2" in joined
+    # best-iterate inference failed -> fallback to final was attempted;
+    # final also fails under the poison, so best is kept
+    assert "falling back to the final-epoch iterate" in joined
+    assert "also diverged at inference" in joined
+    # the train tag keeps its (finite) entry frame -> finite mse
+    assert np.isfinite(out["final"]["ljtest"]["mse"])
+    # CSVs written for every tag, nan row and all
+    assert os.path.exists(os.path.join(str(tmp_path), "rdf_ljtest2.csv"))
+    assert os.path.exists(os.path.join(str(tmp_path), "rdf_ljtest.csv"))
