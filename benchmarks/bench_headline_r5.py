@@ -34,7 +34,8 @@ TAU = 52
 DT = 0.5 * 0.09822694788464063
 
 
-def build(share=False, skin=0.0, update_freq=1, prior_mode="dense"):
+def build(share=False, skin=0.0, update_freq=1, prior_mode="dense",
+          adjoint=True):
     import jax.numpy as jnp
     from mdgrad_tpu.system import System
     from mdgrad_tpu.nn import SchNet
@@ -62,7 +63,8 @@ def build(share=False, skin=0.0, update_freq=1, prior_mode="dense"):
         prior = PairPotentials(system, ev, cutoff=6.0, mode=prior_mode)
         stack = Stack({"nn": nn, "prior": prior})
     integ = NoseHooverChain(stack, system, T=298.0, Q=50.0, num_chains=5,
-                            adjoint=True, topology_update_freq=update_freq)
+                            adjoint=adjoint,
+                            topology_update_freq=update_freq)
     sim = Simulation(system, integ)
     obs = rdf_obs(system, nbins=109, r_range=(1.8, 7.5))
     return system, sim, integ, obs
@@ -149,6 +151,13 @@ VARIANTS = {
     "frozen_dense": dict(update_freq=60),
     "noobs_dense": dict(rdf_loss=False),
     "tau104_dense": dict(tau=104),
+    # direct backprop through the scan (adjoint=False): at N=512 the
+    # stored activations fit easily, and the adjoint's backward REPLAYS
+    # the step (fwd + vjp ~ 3x fwd inside bwd vs direct's stored-
+    # residual 2x) -- candidate ~25% epoch saving at identical grads
+    "direct": dict(adjoint=False),
+    "direct_uf4": dict(adjoint=False, skin=0.6, update_freq=4),
+    "direct_uf8": dict(adjoint=False, skin=1.2, update_freq=8),
 }
 
 

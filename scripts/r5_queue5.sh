@@ -29,6 +29,7 @@ run bench_4k_budget2 python benchmarks/bench_4k_budget.py base share \
   share_uf3 share_skin5 share_pallas share_onehot share_uf3_pl
 
 run bench_headline2 python benchmarks/bench_headline_r5.py base share \
+  direct direct_uf4 direct_uf8 \
   uf2 uf4 uf8 frozen_dense frozen noobs_dense tau104_dense
 
 TMO=7200
