@@ -210,6 +210,13 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
         Q = float(sys_params.get("Q") or 50.0)
         nhc_tau = sys_params.get("nhc_tau")
         mts_k = int(sys_params.get("mts_inner", 0) or 0)
+        # adjoint=True (replay) is the memory-safe default; direct
+        # backprop through the scan (adjoint=False) stores activations
+        # and saves the backward's step replay -- at N=512/tau=52 the
+        # activations fit and the epoch is ~25% faster at identical
+        # gradients (tests/test_adjoint.py, bench_headline_r5.py
+        # 'direct'); prefer it when (N, tau) activations fit in HBM
+        adj = bool(sys_params.get("adjoint", True))
         if mts_k > 1 and not (sys_params.get("pair_flag")
                               or sys_params.get("tpair_flag")):
             # r-RESPA: GNN force at the outer step, prior at dt/k inner
@@ -219,14 +226,14 @@ def build_fit(assignments, sys_params, registry=None, rng=None):
             integ = MTSNoseHooverChain(
                 stack, system, T=T_kelvin, Q=Q, tau=nhc_tau,
                 num_chains=5,
-                adjoint=True, fast_keys=("pair",), n_inner=mts_k,
+                adjoint=adj, fast_keys=("pair",), n_inner=mts_k,
                 topology_update_freq=sys_params.get(
                     "topology_update_freq", 1))
         else:
             integ = NoseHooverChain(
                 stack, system, T=T_kelvin, Q=Q, tau=nhc_tau,
                 num_chains=5,
-                adjoint=True,
+                adjoint=adj,
                 topology_update_freq=sys_params.get(
                     "topology_update_freq", 1))
         sim = Simulation(system, integ)

@@ -92,6 +92,10 @@ def main():
                         "between rebuilds")
     p.add_argument("-update_freq", type=int, default=1,
                    help="topology refresh cadence (steps)")
+    p.add_argument("-adjoint", type=int, default=1,
+                   help="1 = trajectory-replay adjoint (O(1) memory); "
+                        "0 = direct backprop through the scan (faster "
+                        "when (N, tau) activations fit in HBM)")
     args = p.parse_args()
 
     if args.pair or args.tpair:
@@ -120,6 +124,7 @@ def main():
         "anneal_flag": "False", "pair_flag": args.pair,
         "tpair_flag": args.tpair,
         "topology_update_freq": args.update_freq,
+        "adjoint": bool(args.adjoint),
         "share_prior_aux": args.share_prior_aux,
         "gnn_skin": args.gnn_skin,
         "capacity_slack": args.capacity_slack,
