@@ -197,12 +197,20 @@ def main():
         gnn4 = SchNet({"n_atom_basis": 128, "n_filters": 128,
                        "n_gaussians": 40, "n_convolutions": 2,
                        "cutoff": 6.0, "compute_dtype": "bf16"})
+        # share_aux: the prior rides the GNN's (N, K) cells-built table
+        # instead of rebuilding its own O(N^2) sparse neighbor list every
+        # step -- 10.0 s -> 2.03 s/epoch (4.9x) at identical loss/grad
+        # (bench_4k_budget2.log: loss 3.571460 vs 3.571458, |g|1 631.198
+        # vs 631.197) and fit-validated by the 300-epoch 4k run
+        # (results/water_4k_share_r5).  This is the production 4k config
+        # (run_water.py --share_prior_aux).
         stack4 = Stack({
             "nn": GNNPotentials(sys4, gnn4, cutoff=6.0, nbr_mode="cells",
                                 capacity_slack=1.6),
             "prior": PairPotentials(sys4, potentials.ExcludedVolume(
-                sigma=2.6, epsilon=0.01, power=12), cutoff=6.0),
-        })
+                sigma=2.6, epsilon=0.01, power=12), cutoff=6.0,
+                mode="table"),
+        }, share_aux={"prior": "nn"})
         integ4 = NoseHooverChain(stack4, sys4, T=298.0, Q=50.0,
                                  num_chains=5, adjoint=True)
         sim4 = _Sim(sys4, integ4)

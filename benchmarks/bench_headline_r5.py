@@ -35,7 +35,7 @@ DT = 0.5 * 0.09822694788464063
 
 
 def build(share=False, skin=0.0, update_freq=1, prior_mode="dense",
-          adjoint=True):
+          adjoint=True, unroll=1):
     import jax.numpy as jnp
     from mdgrad_tpu.system import System
     from mdgrad_tpu.nn import SchNet
@@ -64,7 +64,8 @@ def build(share=False, skin=0.0, update_freq=1, prior_mode="dense",
         stack = Stack({"nn": nn, "prior": prior})
     integ = NoseHooverChain(stack, system, T=298.0, Q=50.0, num_chains=5,
                             adjoint=adjoint,
-                            topology_update_freq=update_freq)
+                            topology_update_freq=update_freq,
+                            unroll=unroll)
     sim = Simulation(system, integ)
     obs = rdf_obs(system, nbins=109, r_range=(1.8, 7.5))
     return system, sim, integ, obs
@@ -158,6 +159,15 @@ VARIANTS = {
     "direct": dict(adjoint=False),
     "direct_uf4": dict(adjoint=False, skin=0.6, update_freq=4),
     "direct_uf8": dict(adjoint=False, skin=1.2, update_freq=8),
+    # scan-unroll ladder: the clean round-2 probe pinned the epoch at
+    # ~1.04 ms/step + ~25 ms/call (post-restart tunnel RTT) with FLOPs
+    # and bytes both ~20x below their rooflines -- fusion-count bound.
+    # unroll=k unrolls the scan body so XLA fuses across step
+    # boundaries; numerics identical (the same ops in the same order)
+    "unroll2": dict(unroll=2),
+    "unroll4": dict(unroll=4),
+    "unroll8": dict(unroll=8),
+    "unroll4_direct": dict(unroll=4, adjoint=False),
 }
 
 

@@ -79,7 +79,7 @@ def _finalize_ct(primal, acc):
 
 def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
                 adjoint=True, reverse_step_fn=None,
-                skip_first_refresh=False, wrap_fn=None):
+                skip_first_refresh=False, wrap_fn=None, unroll=1):
     """Build ``odeint(params, state0, aux0, ctrl) -> (traj, final_aux)``.
 
     step_fn:       (params, state, aux, ctrl, i) -> state   (one dt step)
@@ -130,12 +130,19 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
                    past ~1.5 L silently corrupts every minimum-image
                    distance (the round-4 DiffTRe sampling failure).
 
+    unroll:        lax.scan unroll factor for the epoch scans (forward
+                   and backward).  Semantics-preserving (XLA unrolls the
+                   loop body; numerics identical) -- buys cross-step
+                   fusion for fusion-count-bound epochs (N <~ 1k) at the
+                   cost of compile time and, in direct mode, activation
+                   memory.
+
     Gradients flow to params, state0 and ctrl; not through aux.
     """
     if reverse_step_fn is not None and adjoint:
         return _make_odeint_reverse(step_fn, reverse_step_fn,
                                     aux_update_fn, n_steps, update_freq,
-                                    wrap_fn=wrap_fn)
+                                    wrap_fn=wrap_fn, unroll=unroll)
 
     def _advance(i, state, aux):
         """Wrap (optional) + topology refresh, sharing one predicate."""
@@ -179,7 +186,7 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
             return (new_state, aux), (new_state, aux)
 
         (final_state, final_aux), (traj, auxs) = jax.lax.scan(
-            body, (state0, aux0), jnp.arange(n_steps))
+            body, (state0, aux0), jnp.arange(n_steps), unroll=unroll)
         full_traj = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0),
             state0, traj)
@@ -228,7 +235,8 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
         rev = lambda t: jax.tree_util.tree_map(lambda x: x[::-1], t)
         (adj, dparams, dctrl), _ = jax.lax.scan(
             body, (ct_last, zero_params, zero_ctrl),
-            (rev(states_in), rev(auxs), rev(ct_rest), idx))
+            (rev(states_in), rev(auxs), rev(ct_rest), idx),
+            unroll=unroll)
         return (_finalize_ct(params, dparams), adj,
                 _zero_cotangent(aux0), _finalize_ct(ctrl, dctrl))
 
@@ -237,7 +245,7 @@ def make_odeint(step_fn, aux_update_fn, n_steps, update_freq=1,
 
 
 def _make_odeint_reverse(step_fn, reverse_step_fn, aux_update_fn, n_steps,
-                         update_freq, wrap_fn=None):
+                         update_freq, wrap_fn=None, unroll=1):
     """True O(1)-memory adjoint: reverse-time state reconstruction.
 
     Forward stores NOTHING but the endpoints (returned traj = [state0,
@@ -267,7 +275,7 @@ def _make_odeint_reverse(step_fn, reverse_step_fn, aux_update_fn, n_steps,
             return (step_fn(params, state, aux, ctrl, i), aux), None
 
         (final, aux), _ = jax.lax.scan(body, (state0, aux0),
-                                       jnp.arange(n_steps))
+                                       jnp.arange(n_steps), unroll=unroll)
         traj = jax.tree_util.tree_map(
             lambda a, b: jnp.stack([a, b]), state0, final)
         return traj, aux
@@ -314,7 +322,7 @@ def _make_odeint_reverse(step_fn, reverse_step_fn, aux_update_fn, n_steps,
 
         (s0, _, adj, dparams, dctrl), _ = jax.lax.scan(
             body, (final, aux0, adj, zero_params, zero_ctrl),
-            jnp.arange(n_steps - 1, -1, -1))
+            jnp.arange(n_steps - 1, -1, -1), unroll=unroll)
         adj = jax.tree_util.tree_map(jnp.add, adj, ct_first)
         return (_finalize_ct(params, dparams), adj,
                 _zero_cotangent(aux0), _finalize_ct(ctrl, dctrl))

@@ -103,7 +103,7 @@ class _MDIntegrator:
     """Shared machinery for NVE / NoseHooverChain."""
 
     def __init__(self, potentials, system, adjoint=True,
-                 topology_update_freq=1, force_cache=True):
+                 topology_update_freq=1, force_cache=True, unroll=1):
         check_system(system)
         self.model = potentials
         self.system = system
@@ -112,6 +112,12 @@ class _MDIntegrator:
         self.n_dof = system.get_number_of_atoms() * system.dim
         self.adjoint = adjoint
         self.topology_update_freq = topology_update_freq
+        # lax.scan unroll factor for the epoch scans: the N<~1k epoch is
+        # fusion-count bound (~20x above both rooflines), so unrolling
+        # lets XLA fuse elementwise work across step boundaries at
+        # identical numerics (bench_headline_r5.py 'unroll*' variants);
+        # costs compile time and activation memory proportional to k
+        self.unroll = int(unroll)
         # the end-of-step force equals the next step's start force; caching
         # it halves potential evaluations vs the reference's two EOM evals
         # per NH-verlet step (sovlers.py:110-127)
@@ -263,9 +269,10 @@ class Langevin(_MDIntegrator):
     default_method = "langevin"
 
     def __init__(self, potentials, system, T, friction=0.01, adjoint=True,
-                 topology_update_freq=1, seed=0, force_cache=True):
+                 topology_update_freq=1, seed=0, force_cache=True,
+                 unroll=1):
         super().__init__(potentials, system, adjoint, topology_update_freq,
-                         force_cache=force_cache)
+                         force_cache=force_cache, unroll=unroll)
         self.T = T
         self.friction = friction
         self.base_key = jax.random.PRNGKey(seed)
@@ -346,9 +353,9 @@ class NoseHooverChain(_MDIntegrator):
 
     def __init__(self, potentials, system, T, num_chains=2, Q=1.0,
                  adjoint=True, topology_update_freq=1, force_cache=True,
-                 tau=None):
+                 tau=None, unroll=1):
         super().__init__(potentials, system, adjoint, topology_update_freq,
-                         force_cache=force_cache)
+                         force_cache=force_cache, unroll=unroll)
         if num_chains < 2:
             raise ValueError("NoseHooverChain needs num_chains >= 2")
         self.T = T

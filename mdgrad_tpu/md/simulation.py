@@ -86,7 +86,8 @@ class Simulation:
         """Jitted ``odeint(params, state0, aux0, ctrl) -> (traj, aux)``
         integrating one epoch of ``frequency - 1`` steps."""
         key = (float(dt), int(frequency), self.method,
-               self.integrator.adjoint)
+               self.integrator.adjoint,
+               getattr(self.integrator, "unroll", 1))
         if key not in self._ode_cache:
             integ = self.integrator
             can_prime = (getattr(integ, "force_cache", False)
@@ -141,7 +142,8 @@ class Simulation:
                                      adjoint=bool(integ.adjoint),
                                      reverse_step_fn=reverse_step,
                                      skip_first_refresh=can_prime,
-                                     wrap_fn=wrap_fn)
+                                     wrap_fn=wrap_fn,
+                                     unroll=getattr(integ, "unroll", 1))
             if can_prime:
                 # refresh the force cache once at epoch entry: the
                 # in-scan stepper then reads state.f unconditionally (no
@@ -262,10 +264,10 @@ Simulations = Simulation
 
 def make_odeint_cached(step_fn, aux_update, n_steps, update_freq, adjoint,
                        reverse_step_fn=None, skip_first_refresh=False,
-                       wrap_fn=None):
+                       wrap_fn=None, unroll=1):
     from .adjoint import make_odeint
     return make_odeint(step_fn, aux_update, n_steps,
                        update_freq=update_freq, adjoint=adjoint,
                        reverse_step_fn=reverse_step_fn,
                        skip_first_refresh=skip_first_refresh,
-                       wrap_fn=wrap_fn)
+                       wrap_fn=wrap_fn, unroll=unroll)

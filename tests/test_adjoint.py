@@ -218,3 +218,40 @@ def test_tinydiffeq_arbitrary_grid():
                substeps=16)
     np.testing.assert_allclose(np.asarray(s["q"]),
                                np.cos(np.asarray(t2)), atol=1e-5)
+
+
+def _epoch_loss_unroll(sys, adjoint, unroll, n_frames=12):
+    pair = PairPotentials(sys, potentials.LennardJones(sigma=0.9,
+                                                       epsilon=1.0),
+                          cutoff=2.5)
+    integ = NoseHooverChain(pair, sys, T=1.0 / units.kB, num_chains=3,
+                            Q=30.0, adjoint=adjoint, unroll=unroll)
+    sim = Simulation(sys, integ)
+    ode = sim.epoch_fn(dt=0.005, frequency=n_frames)
+    state, aux = sim.initial_state()
+    obs = rdf(sys, nbins=32, r_range=(0.5, 2.4))
+    ctrl = integ.default_ctrl()
+
+    def loss(params):
+        traj, _ = ode(params, state, aux, ctrl)
+        _, _, g = obs(traj.q[::4])
+        return (g ** 2).mean()
+
+    return loss, sim.params
+
+
+@pytest.mark.parametrize("adjoint", [True, False])
+def test_scan_unroll_is_semantics_preserving(small_lj, adjoint):
+    """lax.scan unroll (the N<~1k fusion-count-bound headline lever,
+    bench_headline_r5.py 'unroll*') must not change the epoch: same ops
+    in the same order, so loss AND gradients match unroll=1 bitwise-ish.
+    Covers the non-divisible case too (11 steps, unroll 4)."""
+    loss1, params = _epoch_loss_unroll(small_lj, adjoint, unroll=1)
+    loss4, _ = _epoch_loss_unroll(small_lj, adjoint, unroll=4)
+    l1, g1 = jax.value_and_grad(loss1)(params)
+    l4, g4 = jax.value_and_grad(loss4)(params)
+    np.testing.assert_allclose(float(l1), float(l4), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g4[k]),
+                                   rtol=1e-5, atol=1e-10)
+        assert np.abs(np.asarray(g1[k])).max() > 0
