@@ -256,8 +256,22 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     # so consecutive firings are spaced, (b) accumulation over several
     # epochs so one noisy trajectory draw can't trigger or veto a
     # firing, and (c) a min_scale that keeps late-run learning alive.
-    opt = optax.multi_transform(
-        {"train": optax.chain(
+    # lr_schedule='cosine' replaces the plateau with a deterministic
+    # cosine decay to cosine_alpha x lr over the run -- the schedule
+    # that killed fit_salt's late-run overshoot oscillation
+    # (results/salt_r5).  Trajectory-fit losses are noisy single draws,
+    # so a loss-reactive schedule can both misfire (the r5 tpair lr
+    # collapse) and fail to temper late-run steps; a time-based decay
+    # does the tempering unconditionally.
+    lr_schedule = str(sys_params.get("lr_schedule", "plateau"))
+    if lr_schedule == "cosine":
+        train_tx = optax.chain(
+            optax.clip_by_global_norm(assignments.get("grad_clip", 10.0)),
+            optax.adam(optax.cosine_decay_schedule(
+                assignments["lr"], decay_steps=max(int(n_epochs), 1),
+                alpha=float(sys_params.get("cosine_alpha", 0.05)))))
+    else:
+        train_tx = optax.chain(
             optax.clip_by_global_norm(assignments.get("grad_clip", 10.0)),
             optax.adam(assignments["lr"]),
             optax.contrib.reduce_on_plateau(
@@ -266,8 +280,9 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                 cooldown=int(sys_params.get("plateau_cooldown", 30)),
                 accumulation_size=int(sys_params.get("plateau_accum", 5)),
                 min_scale=float(sys_params.get("plateau_min_scale", 0.05)),
-                atol=1e-5)),
-         "frozen": optax.set_to_zero()}, labels)
+                atol=1e-5))
+    opt = optax.multi_transform(
+        {"train": train_tx, "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
 
     def build_train_step():
@@ -349,6 +364,23 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     step_scale = 1.0
     last_good = (params, opt_state, states)
     bailed_at = None
+    # Checkpoint-backtrack recovery (the r5 tpair_multi_r5b lesson,
+    # BENCH.md queue-8 postmortem): when an epoch goes non-finite, the
+    # last_good params ARE the params that are blowing up -- the update
+    # that produced them landed at the end of the previous clean epoch,
+    # and halving step_scale only shrinks the NEXT update.  Momenta
+    # redraws alone cannot escape dynamically-unstable params, so after
+    # ``backtrack_after`` failed retries at one epoch we revert params +
+    # opt_state + states to a RING of older verified snapshots (entry
+    # params of clean epochs, every ``backtrack_every`` epochs) and
+    # resume training from there -- converting what used to be a hard
+    # bailout into a walk-back.
+    snap_every = max(int(sys_params.get("backtrack_every", 10)), 1)
+    backtrack_after = int(sys_params.get("backtrack_after", 2))
+    max_backtracks = int(sys_params.get("max_backtracks", 8))
+    snaps = []          # ring of (epoch, params, opt_state, states)
+    fails = 0           # consecutive non-finite retries at this epoch
+    backtracks = 0
     # LIVE best-iterate selection (VERDICT r4 item 2): trajectory fits
     # oscillate around their noise floor and can degrade late (the r4
     # tpair run's loss rose 5.86 -> 12.5 over its last 8 epochs, and
@@ -367,7 +399,21 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
         entry = (params, opt_state, states)
         loss, new_params, new_opt_state, losses, gs, finals, overflow =             train_step(params, opt_state, states, step_scale)
         if not _states_finite(finals):
+            fails += 1
             step_scale *= 0.5
+            if (fails >= backtrack_after and snaps
+                    and backtracks < max_backtracks):
+                sn_epoch, params, opt_state, states = snaps.pop()
+                states = _rethermalize_stack(states, comps, rng)
+                last_good = (params, opt_state, states)
+                backtracks += 1
+                step_scale, fails = 0.5, 0
+                log(f"epoch {epoch}: non-finite persists; BACKTRACK to "
+                    f"the epoch-{sn_epoch} snapshot (params + opt state "
+                    f"reverted, momenta rethermalized; {len(snaps)} "
+                    f"snapshots left, {max_backtracks - backtracks} "
+                    "backtracks left)")
+                continue
             if step_scale < 1 / 64:
                 # exhausted: the CURRENT params are dynamically unstable
                 # (momenta redraws + tiny updates all blow up -- the r4
@@ -409,6 +455,13 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
             best = {"loss": ema, "params": params, "states": finals,
                     "epoch": epoch}
             ckpt.save_best(epoch, ema, params)
+        fails = 0
+        if epoch % snap_every == 0:
+            # snapshot the ENTRY params/opt_state (just verified by this
+            # finite epoch) with the epoch's final MD states
+            snaps.append((epoch, params, opt_state,
+                          jax.lax.stop_gradient(finals)))
+            del snaps[:-3]
         params, opt_state = new_params, new_opt_state
         last_good = (params, opt_state, finals)
         # trust-region recovery: a rough patch halves step_scale, but a

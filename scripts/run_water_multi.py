@@ -42,6 +42,16 @@ def main():
                         "deepening past u_floor_mult x pretrained depth")
     p.add_argument("-u_floor_mult", type=float, default=1.5)
     p.add_argument("-pretrain", type=int, default=1000)
+    p.add_argument("-lr_schedule", type=str, default="plateau",
+                   choices=["plateau", "cosine"],
+                   help="cosine: deterministic decay to cosine_alpha*lr "
+                        "over the run (tempers late-run steps; immune to "
+                        "the plateau schedule's noise-triggered collapse)")
+    p.add_argument("-cosine_alpha", type=float, default=0.05)
+    p.add_argument("-backtrack_every", type=int, default=10,
+                   help="snapshot cadence for checkpoint-backtrack "
+                        "NaN recovery")
+    p.add_argument("-max_backtracks", type=int, default=8)
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
@@ -76,6 +86,10 @@ def main():
         "u_reg_weight": args.u_reg_weight,
         "u_floor_mult": args.u_floor_mult,
         "pretrain_iters": args.pretrain,
+        "lr_schedule": args.lr_schedule,
+        "cosine_alpha": args.cosine_alpha,
+        "backtrack_every": args.backtrack_every,
+        "max_backtracks": args.max_backtracks,
     }
     if args.dry_run:
         assignments["opt_freq"] = 25

@@ -546,6 +546,57 @@ def test_fit_rdf_multistate_depth_guard(synthetic_registry):
     assert d_final > min(d0_vals) + 1e-3
 
 
+def test_fit_rdf_multistate_backtrack_recovery(synthetic_registry,
+                                               monkeypatch):
+    """Checkpoint-backtrack NaN recovery (the r5 tpair_multi_r5b lesson):
+    when retries at one epoch keep failing, the params themselves are
+    unstable -- last_good holds the SAME params, so momenta redraws
+    cannot escape.  After ``backtrack_after`` failures the driver must
+    revert params+opt_state+states to an older verified snapshot and
+    train on to completion instead of bailing out."""
+    import importlib
+    frm = importlib.import_module("mdgrad_tpu.train.fit_rdf_multi")
+    real = frm._states_finite
+    calls = {"n": 0}
+
+    def flaky(finals):
+        calls["n"] += 1
+        # call 1 (epoch 0) clean -> snapshot; calls 2-3 (epoch 1)
+        # non-finite twice -> retherm retry, then backtrack; clean after
+        if calls["n"] in (2, 3):
+            return False
+        return real(finals)
+
+    monkeypatch.setattr(frm, "_states_finite", flaky)
+    registry = dict(synthetic_registry)
+    e2 = dict(registry["ljtest"])
+    e2["T"], e2["rho"] = 1.4, 0.80
+    registry["ljtest2"] = e2
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 11, "lr": 1e-3,
+        "epsilon": 0.4, "sigma": 0.9,
+        "gaussian_width": 0.25, "n_atom_basis": "tiny",
+        "n_filters": "tiny", "n_convolutions": 2,
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 3, "n_sim": 1,
+        "data": ["ljtest", "ljtest2"], "pair_flag": False,
+        "frame_skip": 5, "test_nbins": 64,
+        "backtrack_every": 1, "backtrack_after": 2,
+        "lr_schedule": "cosine",      # cosine chain smoke-covered here
+    }
+    logs = []
+    out = frm.fit_rdf_multistate(assignments, sys_params,
+                                 registry=registry,
+                                 rng=np.random.default_rng(1),
+                                 log=logs.append)
+    joined = "\n".join(str(m) for m in logs)
+    assert "BACKTRACK to the epoch-0 snapshot" in joined
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 3          # all epochs completed
+    assert np.isfinite(out["objective"])
+
+
 def test_fit_rdf_multistate_bailout_salvage(synthetic_registry,
                                             monkeypatch):
     """A PERSISTENT non-finite epoch (params dynamically unstable, the
