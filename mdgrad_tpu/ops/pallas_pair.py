@@ -12,10 +12,16 @@ accumulates per-row force vectors and a per-tile energy partial.
 Memory: O(TILE_R x TILE_C) scratch instead of O(N^2); HBM traffic is one
 read of xyz per column tile + one (N, 3) force write.
 
-Scope: forward MD / sampling (NVE, Langevin, target generation, the
-inference phase of fit drivers).  The *differentiable* fitting path keeps
-the XLA dense/sparse forms (grad-of-grad through a hand-written kernel
-needs bespoke second-order kernels -- planned follow-up).
+Scope: `lj_energy_forces` / `PallasLJPair` serve forward MD / sampling
+(NVE, Langevin, target generation, inference rollouts).  The
+*differentiable* fitting path is `make_lj_force`: a custom_vjp force
+whose backward runs the bespoke analytic Hessian-vector-product kernel
+(`_force_hvp_kernel`), so the force can sit inside MD steps that the
+trajectory adjoint differentiates -- second-order d/d(sigma, epsilon)
+through the fitting loss matches the XLA dense path (BENCH.md
+"Differentiable Pallas pair path": 2.3x at N=1372, 4.0x at N=4000 over
+XLA dense on a full LJ fit epoch;
+tests/test_pallas.py::test_make_lj_force_custom_vjp_matches_dense).
 Supports diagonal (orthorhombic) cells, the only kind the reference's
 workloads use.
 """
