@@ -407,7 +407,11 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                 states = _rethermalize_stack(states, comps, rng)
                 last_good = (params, opt_state, states)
                 backtracks += 1
-                step_scale, fails = 0.5, 0
+                # re-enter the hazardous region gently: 0.25 takes ~5
+                # clean epochs of x1.26 grow-back to return to full
+                # step size (the r5c run re-approached at 0.5 and blew
+                # up within 2-6 epochs each time)
+                step_scale, fails = 0.25, 0
                 log(f"epoch {epoch}: non-finite persists; BACKTRACK to "
                     f"the epoch-{sn_epoch} snapshot (params + opt state "
                     f"reverted, momenta rethermalized; {len(snaps)} "

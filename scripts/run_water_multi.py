@@ -52,6 +52,10 @@ def main():
                    help="snapshot cadence for checkpoint-backtrack "
                         "NaN recovery")
     p.add_argument("-max_backtracks", type=int, default=8)
+    p.add_argument("-seed", type=int, default=0,
+                   help="rng seed for lattice momenta + rethermalize "
+                        "draws -- a fresh stochastic path through the "
+                        "hazardous loss region")
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args()
 
@@ -96,9 +100,11 @@ def main():
         sys_params.update(n_epochs=2, n_sim=1, size=2, frame_skip=5,
                           test_nbins=100, pretrain_iters=50)
 
+    import numpy as np
     from mdgrad_tpu.train.fit_rdf_multi import fit_rdf_multistate
     out = fit_rdf_multistate(assignments, sys_params,
-                             model_path=os.path.join(args.logdir, "0"))
+                             model_path=os.path.join(args.logdir, "0"),
+                             rng=np.random.default_rng(args.seed))
     print("objective:", out["objective"])
     for tag, fin in out.get("final", {}).items():
         print(f"  {tag}: mse {fin['mse']:.4f}")
