@@ -285,14 +285,19 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
         {"train": train_tx, "frozen": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
 
-    def build_train_step():
+    def build_train_step(dt_scale=1.0):
         # rebuilt after a capacity regrow: the table k_max is a static
         # shape baked into the traced program (model.aux_init runs INSIDE
         # the vmapped epoch body), so unlike fit_rdf -- where the aux is
         # a train_step ARGUMENT and a bigger table retraces by shape --
-        # growing it here requires a fresh trace of the whole step
+        # growing it here requires a fresh trace of the whole step.
+        # ``dt_scale`` < 1 is the dt-backoff recovery mode: a rough
+        # mid-training potential that cannot hold a tau-step trajectory
+        # at full dt usually CAN at dt/2 -- the blowup mechanism is
+        # integration error, which param rewinds alone do not address.
         loss_fn = make_stack_multistate_fit(
-            integ, dt=dt, n_steps=max(int(tau) - 1, 1), nbins=nbins,
+            integ, dt=dt * dt_scale, n_steps=max(int(tau) - 1, 1),
+            nbins=nbins,
             rdf_range=comps["rdf_range"], mesh=mesh,
             frame_skip=frame_skip, loss_type="shell",
             kT_to_params=kT_to_params)
@@ -381,6 +386,18 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
     snaps = []          # ring of (epoch, params, opt_state, states)
     fails = 0           # consecutive non-finite retries at this epoch
     backtracks = 0
+    # dt-backoff recovery (opt-in): when a backtrack fires, ALSO halve
+    # the training integration dt for the next ``dt_hold`` clean epochs
+    # -- the blowup is an integration failure of the current rough
+    # potential, and halving dt doubles the stability margin where
+    # momenta redraws and param rewinds only re-roll the dice.  Each
+    # engage/restore retraces the step once (same precedent as regrow).
+    # Best-iterate selection is gated to full-dt epochs so the EMA
+    # compares like-for-like loss estimators.
+    dt_backoff = bool(sys_params.get("dt_backoff", False))
+    dt_hold = int(sys_params.get("dt_hold", 20))
+    dt_scale_now = 1.0
+    dt_clean = 0
     # LIVE best-iterate selection (VERDICT r4 item 2): trajectory fits
     # oscillate around their noise floor and can degrade late (the r4
     # tpair run's loss rose 5.86 -> 12.5 over its last 8 epochs, and
@@ -412,6 +429,12 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                 # step size (the r5c run re-approached at 0.5 and blew
                 # up within 2-6 epochs each time)
                 step_scale, fails = 0.25, 0
+                if dt_backoff and dt_scale_now == 1.0:
+                    dt_scale_now, dt_clean = 0.5, 0
+                    train_step = build_train_step(dt_scale_now)
+                    log(f"epoch {epoch}: dt-backoff engaged -- training "
+                        f"dt halved for the next {dt_hold} clean epochs "
+                        "(recompiles once)")
                 log(f"epoch {epoch}: non-finite persists; BACKTRACK to "
                     f"the epoch-{sn_epoch} snapshot (params + opt state "
                     f"reverted, momenta rethermalized; {len(snaps)} "
@@ -442,7 +465,7 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
             if overflow_policy == "regrow":
                 if integ.model.grow_capacity(regrow_factor):
                     params, opt_state, states = entry
-                    train_step = build_train_step()
+                    train_step = build_train_step(dt_scale_now)
                     log(f"regrow: shared neighbor capacity grown; epoch "
                         f"{epoch} entry restored and retried "
                         "(recompiles once)")
@@ -455,11 +478,18 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
                 new_params, new_opt_state = params, opt_state
         ema = float(loss) if ema is None \
             else ema_alpha * ema + (1.0 - ema_alpha) * float(loss)
-        if ema < best["loss"]:
+        if ema < best["loss"] and dt_scale_now == 1.0:
             best = {"loss": ema, "params": params, "states": finals,
                     "epoch": epoch}
             ckpt.save_best(epoch, ema, params)
         fails = 0
+        if dt_scale_now < 1.0:
+            dt_clean += 1
+            if dt_clean >= dt_hold:
+                dt_scale_now = 1.0
+                train_step = build_train_step(1.0)
+                log(f"epoch {epoch}: dt-backoff released -- full "
+                    "training dt restored (recompiles once)")
         if epoch % snap_every == 0:
             # snapshot the ENTRY params/opt_state (just verified by this
             # finite epoch) with the epoch's final MD states

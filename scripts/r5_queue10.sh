@@ -37,7 +37,7 @@ if grep -q "NaN bailout" results/r5_logs/tpair_multi_r5d.log; then
     -data H20_298K_redd H20_308K_redd H20_368K_redd -val H20_338K_redd \
     -nepochs 360 -nsim 10 -capacity_slack 3.0 \
     -overflow_policy regrow -u_reg_weight 5.0 -u_floor_mult 1.5 \
-    -lr_schedule cosine -max_backtracks 30 -seed 2 \
+    -lr_schedule cosine -max_backtracks 30 -seed 2 --dt_backoff \
     -logdir results/water_tpair_multi_r5e
 fi
 

@@ -52,6 +52,10 @@ def main():
                    help="snapshot cadence for checkpoint-backtrack "
                         "NaN recovery")
     p.add_argument("-max_backtracks", type=int, default=8)
+    p.add_argument("--dt_backoff", action="store_true",
+                   help="halve the training dt for dt_hold clean epochs "
+                        "after each backtrack (integration-error rescue)")
+    p.add_argument("-dt_hold", type=int, default=20)
     p.add_argument("-seed", type=int, default=0,
                    help="rng seed for lattice momenta + rethermalize "
                         "draws -- a fresh stochastic path through the "
@@ -94,6 +98,8 @@ def main():
         "cosine_alpha": args.cosine_alpha,
         "backtrack_every": args.backtrack_every,
         "max_backtracks": args.max_backtracks,
+        "dt_backoff": args.dt_backoff,
+        "dt_hold": args.dt_hold,
     }
     if args.dry_run:
         assignments["opt_freq"] = 25

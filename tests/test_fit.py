@@ -584,6 +584,7 @@ def test_fit_rdf_multistate_backtrack_recovery(synthetic_registry,
         "frame_skip": 5, "test_nbins": 64,
         "backtrack_every": 1, "backtrack_after": 2,
         "lr_schedule": "cosine",      # cosine chain smoke-covered here
+        "dt_backoff": True, "dt_hold": 1,
     }
     logs = []
     out = frm.fit_rdf_multistate(assignments, sys_params,
@@ -592,6 +593,10 @@ def test_fit_rdf_multistate_backtrack_recovery(synthetic_registry,
                                  log=logs.append)
     joined = "\n".join(str(m) for m in logs)
     assert "BACKTRACK to the epoch-0 snapshot" in joined
+    # dt-backoff rides the backtrack: engage at the rewind, release
+    # after dt_hold clean epochs (both rebuild the jitted step)
+    assert "dt-backoff engaged" in joined
+    assert "dt-backoff released" in joined
     assert not out.get("nan_bailout", False)
     assert len(out["loss_log"]) == 3          # all epochs completed
     assert np.isfinite(out["objective"])
