@@ -43,6 +43,13 @@ from .pretrain import boltzmann_inversion_pretrain
 WIDTH_DICT = {"tiny": 64, "low": 128, "mid": 256, "high": 512}
 
 
+def _traj_finite(last):
+    """Final-state finiteness of one epoch trajectory (module-level so
+    recovery tests can inject failures, same as fit_rdf_multi's
+    ``_states_finite``)."""
+    return bool(jnp.isfinite(last.q).all())
+
+
 def _dt_scale(entry):
     """dt is femtoseconds for physical-units registry targets and reduced
     time units for LJ-style reduced-units entries (see fit_rdf's dt
@@ -515,6 +522,18 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
     # 99 of 150, results/r4_logs/tpair_table_regrow.log)
     step_scale = 1.0
     last_good = (params, opt_state, list(md_states))
+    # checkpoint-backtrack ring (same design as fit_rdf_multi): on a
+    # non-finite epoch, last_good's params ARE the unstable iterate --
+    # the update landed at the end of the previous clean epoch, so
+    # momenta redraws and next-update scaling can never walk params
+    # back.  Revert to an older verified snapshot after repeated
+    # failures instead of burning the whole step-scale budget in place.
+    snap_every = max(int(sys_params.get("backtrack_every", 10)), 1)
+    backtrack_after = int(sys_params.get("backtrack_after", 2))
+    max_backtracks = int(sys_params.get("max_backtracks", 8))
+    snaps = []
+    fails = 0
+    backtracks = 0
     epoch = start_epoch
     while epoch < n_epochs:
         total_loss = 0.0
@@ -541,7 +560,7 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
             (loss, (g, last, final_aux)), grads = vg(
                 params, state, aux, ctrl)
 
-            if not bool(jnp.isfinite(last.q).all()):
+            if not _traj_finite(last):
                 epoch_nan_tag = tag
                 break
             # aux may be a Stack's dict of child auxes or a bare
@@ -561,7 +580,32 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
                 grads_acc = tree_add(grads_acc, grads)
 
         if epoch_nan_tag is not None:
+            fails += 1
             step_scale *= 0.5
+            if (fails >= backtrack_after and snaps
+                    and backtracks < max_backtracks):
+                sn_epoch, sn_params, sn_opt, sn_states = snaps.pop()
+                params, opt_state, md_states = (sn_params, sn_opt,
+                                                list(sn_states))
+                from ..md import rethermalize
+                md_states = [
+                    (rethermalize(s,
+                                  registry_T_kelvin(registry[t]) * units.kB,
+                                  sims[j].system.get_masses(), rng=rng,
+                                  dim=sims[j].system.dim), a)
+                    for j, ((s, a), t) in enumerate(zip(md_states,
+                                                        all_sys))]
+                for sim in sims:
+                    sim.params = params
+                last_good = (params, opt_state, list(md_states))
+                backtracks += 1
+                step_scale, fails = 0.25, 0
+                del js_log[js_entry_len:]
+                log(f"epoch {epoch} ({epoch_nan_tag}): non-finite "
+                    f"persists; BACKTRACK to the epoch-{sn_epoch} "
+                    f"snapshot ({len(snaps)} snapshots left, "
+                    f"{max_backtracks - backtracks} backtracks left)")
+                continue
             if step_scale < 1 / 64:
                 log(f"NaN bailout at epoch {epoch} ({epoch_nan_tag}, "
                     "step_scale exhausted)")
@@ -614,6 +658,13 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
             params, opt_state = apply_update(grads_acc, opt_state, params,
                                              jnp.asarray(total_loss),
                                              jnp.asarray(step_scale))
+        fails = 0
+        if epoch % snap_every == 0:
+            # entry params of this verified-finite epoch (last_good still
+            # holds them here) + the epoch's final MD states
+            snaps.append((epoch, last_good[0], last_good[1],
+                          list(md_states)))
+            del snaps[:-3]
         last_good = (params, opt_state, list(md_states))
         # trust-region recovery: grow the halved scale back slowly after
         # clean epochs so one rough patch does not starve every later

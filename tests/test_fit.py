@@ -862,6 +862,46 @@ def test_fit_rdf_nan_recovery(synthetic_registry, monkeypatch):
     assert "step_scale -> 0.5" in joined
 
 
+def test_fit_rdf_backtrack_recovery(synthetic_registry, monkeypatch):
+    """Serial-driver checkpoint backtracking (ported from fit_rdf_multi):
+    persistent non-finite epochs revert params/opt_state/MD states to an
+    older verified snapshot instead of burning the whole step-scale
+    budget on the same unstable iterate."""
+    import importlib
+    fr = importlib.import_module("mdgrad_tpu.train.fit_rdf")
+    real = fr._traj_finite
+    calls = {"n": 0}
+
+    def flaky(last):
+        calls["n"] += 1
+        if calls["n"] in (2, 3):
+            return False
+        return real(last)
+
+    monkeypatch.setattr(fr, "_traj_finite", flaky)
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 21, "lr": 3e-3,
+        "epsilon": 0.4, "sigma": 0.9, "power": 12,
+        "gaussian_width": 0.1, "n_width": 32, "n_layers": 1,
+        "nonlinear": "SELU",
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 3, "n_sim": 1,
+        "data": ["ljtest"], "val": None, "pair_flag": True,
+        "anneal_flag": "False", "topology_update_freq": 1,
+        "pretrain_iters": 30, "frame_skip": 5, "test_nbins": 64,
+        "backtrack_every": 1, "backtrack_after": 2,
+    }
+    logs = []
+    out = fr.fit_rdf(assignments, sys_params, registry=synthetic_registry,
+                     rng=np.random.default_rng(1), log=logs.append)
+    joined = "\n".join(str(m) for m in logs)
+    assert "BACKTRACK to the epoch-0 snapshot" in joined
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 3
+    assert np.isfinite(out["objective"])
+
+
 def test_fit_rdf_overflow_regrow(synthetic_registry):
     """overflow_policy='regrow': a fit started with a deliberately
     undersized neighbor table recovers -- capacity regrows, the epoch's
