@@ -582,8 +582,12 @@ def fit_rdf(assignments, sys_params, model_path=None, log=print,
         if epoch_nan_tag is not None:
             fails += 1
             step_scale *= 0.5
-            if (fails >= backtrack_after and snaps
-                    and backtracks < max_backtracks):
+            # consecutive-failure OR step-scale-erosion trigger (the
+            # fail/clean thrash pattern resets `fails` on every lucky
+            # epoch while the scale budget bleeds out -- see
+            # fit_rdf_multi and the r5d tpair postmortem)
+            if ((fails >= backtrack_after or step_scale < 0.1)
+                    and snaps and backtracks < max_backtracks):
                 sn_epoch, sn_params, sn_opt, sn_states = snaps.pop()
                 params, opt_state, md_states = (sn_params, sn_opt,
                                                 list(sn_states))

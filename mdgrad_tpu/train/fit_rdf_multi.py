@@ -418,8 +418,13 @@ def fit_rdf_multistate(assignments, sys_params, model_path=None, log=print,
         if not _states_finite(finals):
             fails += 1
             step_scale *= 0.5
-            if (fails >= backtrack_after and snaps
-                    and backtracks < max_backtracks):
+            # two triggers: consecutive failures at one epoch, OR
+            # step-scale erosion -- the r5d run thrashed fail/clean/
+            # fail/clean for 12 epochs (fails reset on every lucky
+            # clean epoch, x0.5 per failure beat x1.26 per clean) and
+            # exhausted the scale budget with 29 backtracks unused
+            if ((fails >= backtrack_after or step_scale < 0.1)
+                    and snaps and backtracks < max_backtracks):
                 sn_epoch, params, opt_state, states = snaps.pop()
                 states = _rethermalize_stack(states, comps, rng)
                 last_good = (params, opt_state, states)

@@ -602,6 +602,55 @@ def test_fit_rdf_multistate_backtrack_recovery(synthetic_registry,
     assert np.isfinite(out["objective"])
 
 
+def test_fit_rdf_multistate_backtrack_on_scale_erosion(synthetic_registry,
+                                                       monkeypatch):
+    """The fail/clean/fail thrash pattern (r5d tpair postmortem):
+    `fails` resets on every lucky clean epoch while x0.5-per-failure
+    beats x1.26-per-clean, so the consecutive-failure trigger never
+    fires and the scale budget bleeds to the bailout.  The erosion
+    trigger (step_scale < 0.1 after a failure) must backtrack instead."""
+    import importlib
+    frm = importlib.import_module("mdgrad_tpu.train.fit_rdf_multi")
+    real = frm._states_finite
+    calls = {"n": 0}
+
+    def alternating(finals):
+        calls["n"] += 1
+        # call 1 clean (epoch 0 -> snapshot); thereafter every ODD call
+        # fails, every even call passes: fails never reaches 2
+        if calls["n"] > 1 and calls["n"] % 2 == 0:
+            return False
+        return real(finals)
+
+    monkeypatch.setattr(frm, "_states_finite", alternating)
+    registry = dict(synthetic_registry)
+    e2 = dict(registry["ljtest"])
+    e2["T"], e2["rho"] = 1.4, 0.80
+    registry["ljtest2"] = e2
+    assignments = {
+        "cutoff": 2.5, "nbins": 48, "opt_freq": 11, "lr": 1e-3,
+        "epsilon": 0.4, "sigma": 0.9,
+        "gaussian_width": 0.25, "n_atom_basis": "tiny",
+        "n_filters": "tiny", "n_convolutions": 2,
+    }
+    sys_params = {
+        "size": 2, "dt": 0.005, "n_epochs": 6, "n_sim": 1,
+        "data": ["ljtest", "ljtest2"], "pair_flag": False,
+        "frame_skip": 5, "test_nbins": 64,
+        "backtrack_every": 1, "backtrack_after": 99,  # erosion only
+    }
+    logs = []
+    out = frm.fit_rdf_multistate(assignments, sys_params,
+                                 registry=registry,
+                                 rng=np.random.default_rng(1),
+                                 log=logs.append)
+    joined = "\n".join(str(m) for m in logs)
+    assert "BACKTRACK" in joined
+    assert not out.get("nan_bailout", False)
+    assert len(out["loss_log"]) == 6
+    assert np.isfinite(out["objective"])
+
+
 def test_fit_rdf_multistate_bailout_salvage(synthetic_registry,
                                             monkeypatch):
     """A PERSISTENT non-finite epoch (params dynamically unstable, the
